@@ -1,0 +1,185 @@
+"""DQN / DDQN / D3QN agents.
+
+Analogue of ``tf_agents/agents/dqn/dqn_agent.py:82,649,704``:
+  - epsilon-greedy collect + greedy eval policies (:340)
+  - target network with periodic polyak updates (`_get_target_updater`
+    :385, via common.soft_variables_update)
+  - TD loss masks boundary transitions (`valid_mask` :515) and aggregates
+    with 1/N batch weighting (:534)
+  - n-step targets via `to_n_step_transition` (data_converter.py:577)
+  - action masking via observation_and_action_constraint_splitter (:141)
+
+The whole train step — gather, forward, backward, optimizer, periodic
+target update — is one pure function; XLA fuses it into a single TPU
+program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from agents_tpu.agents.agent import Agent
+from agents_tpu.policies.q_policy import QPolicy
+from agents_tpu.policies.wrappers import EpsilonGreedyPolicy, GreedyPolicy
+from agents_tpu.trajectories import time_step as ts
+from agents_tpu.trajectories import trajectory as tj
+from agents_tpu.utils import common
+from agents_tpu.utils.common import LossInfo
+
+
+@struct.dataclass
+class DqnAgentState:
+  q_params: Any
+  target_q_params: Any
+  opt_state: Any
+  train_step: jax.Array
+
+
+@struct.dataclass
+class DqnLossExtra:
+  td_loss: jax.Array
+  td_error: jax.Array
+
+
+class DqnAgent(Agent):
+  """Vanilla DQN (max over target net)."""
+
+  def __init__(self, time_step_spec, action_spec, q_network,
+               optimizer: optax.GradientTransformation,
+               epsilon_greedy: float = 0.1,
+               n_step_update: int = 1,
+               boltzmann_temperature: Optional[float] = None,
+               observation_and_action_constraint_splitter=None,
+               td_errors_loss_fn: Callable = common.element_wise_huber_loss,
+               gamma: float = 1.0,
+               reward_scale_factor: float = 1.0,
+               target_update_tau: float = 1.0,
+               target_update_period: int = 1,
+               gradient_clipping: Optional[float] = None):
+    self.time_step_spec = time_step_spec
+    self.action_spec = action_spec
+    self.q_network = q_network
+    self.optimizer = optimizer
+    self.epsilon_greedy = epsilon_greedy
+    self.n_step_update = n_step_update
+    self.td_errors_loss_fn = td_errors_loss_fn
+    self.gamma = gamma
+    self.reward_scale_factor = reward_scale_factor
+    self.target_update_tau = target_update_tau
+    self.target_update_period = target_update_period
+    self.gradient_clipping = gradient_clipping
+    self.splitter = observation_and_action_constraint_splitter
+    self.train_sequence_length = n_step_update + 1
+
+    q_policy = QPolicy(time_step_spec, action_spec, q_network,
+                       observation_and_action_constraint_splitter=self.splitter)
+    self.policy = GreedyPolicy(q_policy)
+    if boltzmann_temperature is not None:
+      from agents_tpu.policies.wrappers import BoltzmannPolicy
+      self.collect_policy = BoltzmannPolicy(q_policy, boltzmann_temperature)
+    else:
+      self.collect_policy = EpsilonGreedyPolicy(q_policy, epsilon_greedy)
+    self._q_policy = q_policy
+
+  # -- lifecycle -----------------------------------------------------------
+  def init(self, key) -> DqnAgentState:
+    q_params = self.q_network.init_params(key)
+    return DqnAgentState(
+        q_params=q_params,
+        target_q_params=jax.tree_util.tree_map(jnp.copy, q_params),
+        opt_state=self.optimizer.init(q_params),
+        train_step=jnp.zeros((), jnp.int32),
+    )
+
+  def policy_params(self, agent_state):
+    return agent_state.q_params
+
+  # -- Q computation hooks (overridden by DDQN) -----------------------------
+  def _next_best_q(self, agent_state, next_time_steps):
+    """max_a Q_target(s', a) with optional action mask
+    (dqn_agent.py:604-647)."""
+    obs = next_time_steps.observation
+    mask = None
+    if self.splitter is not None:
+      obs, mask = self.splitter(obs)
+    q_next, _ = self.q_network.apply(
+        agent_state.target_q_params, obs, next_time_steps.step_type, ())
+    if mask is not None:
+      q_next = jnp.where(mask, q_next, -1e9)
+    return jnp.max(q_next, axis=-1)
+
+  # -- train ---------------------------------------------------------------
+  def _loss(self, q_params, agent_state, experience, weights=None):
+    """experience: Trajectory [B, T=n_step+1]."""
+    transition = tj.to_n_step_transition(experience, gamma=self.gamma)
+    time_steps = transition.time_step
+    actions = transition.action_step.action
+    next_time_steps = transition.next_time_step
+
+    obs = time_steps.observation
+    if self.splitter is not None:
+      obs, _ = self.splitter(obs)
+    q_all, _ = self.q_network.apply(q_params, obs, time_steps.step_type, ())
+    q_values = common.index_with_actions(q_all, actions)
+
+    next_q = self._next_best_q(agent_state, next_time_steps)
+    rewards = self.reward_scale_factor * next_time_steps.reward
+    discounts = self.gamma * next_time_steps.discount
+    td_targets = jax.lax.stop_gradient(rewards + discounts * next_q)
+    td_error = td_targets - q_values
+    td_loss = self.td_errors_loss_fn(td_targets, q_values)
+
+    valid_mask = (~time_steps.is_last()).astype(jnp.float32)
+    td_error = valid_mask * td_error
+    td_loss = valid_mask * td_loss
+
+    loss = common.aggregate_losses(per_example_loss=td_loss,
+                                   sample_weight=weights)
+    return loss, DqnLossExtra(td_loss=td_loss, td_error=td_error)
+
+  def train(self, agent_state: DqnAgentState, experience,
+            weights=None) -> Tuple[DqnAgentState, LossInfo]:
+    (loss, extra), grads = jax.value_and_grad(
+        self._loss, has_aux=True)(
+            agent_state.q_params, agent_state, experience, weights)
+    if self.gradient_clipping is not None:
+      grads = common.clip_gradient_norms(grads, self.gradient_clipping)
+    updates, opt_state = self.optimizer.update(
+        grads, agent_state.opt_state, agent_state.q_params)
+    q_params = optax.apply_updates(agent_state.q_params, updates)
+    train_step = agent_state.train_step + 1
+    target_q_params = common.periodic_soft_update(
+        train_step, self.target_update_period, q_params,
+        agent_state.target_q_params, self.target_update_tau)
+    new_state = DqnAgentState(
+        q_params=q_params, target_q_params=target_q_params,
+        opt_state=opt_state, train_step=train_step)
+    return new_state, LossInfo(loss=loss, extra=extra)
+
+
+class DdqnAgent(DqnAgent):
+  """Double DQN: online-net argmax, target-net evaluation
+  (dqn_agent.py:649)."""
+
+  def _next_best_q(self, agent_state, next_time_steps):
+    obs = next_time_steps.observation
+    mask = None
+    if self.splitter is not None:
+      obs, mask = self.splitter(obs)
+    q_online, _ = self.q_network.apply(
+        agent_state.q_params, obs, next_time_steps.step_type, ())
+    if mask is not None:
+      q_online = jnp.where(mask, q_online, -1e9)
+    best = jnp.argmax(q_online, axis=-1)
+    q_target, _ = self.q_network.apply(
+        agent_state.target_q_params, obs, next_time_steps.step_type, ())
+    return common.index_with_actions(q_target, best)
+
+
+# D3QN = Double DQN + a dueling q_network (reference D3qnAgent :704 is just
+# DdqnAgent constructed with DuelingQNetwork).
+D3qnAgent = DdqnAgent

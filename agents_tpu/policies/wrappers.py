@@ -1,0 +1,190 @@
+"""Policy wrappers: greedy / epsilon-greedy / boltzmann / gaussian / OU.
+
+Analogues of ``tf_agents/policies/greedy_policy.py``,
+``epsilon_greedy_policy.py``, ``boltzmann_policy.py``,
+``gaussian_policy.py``, ``ou_noise_policy.py``.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agents_tpu import distributions as dist_lib
+from agents_tpu.policies.policy import Policy, clip_to_spec
+from agents_tpu.specs import array_spec
+from agents_tpu.trajectories import policy_step as ps
+from agents_tpu.utils import common, nest_utils
+
+
+class GreedyPolicy(Policy):
+  """Mode of the wrapped policy's distribution (greedy_policy.py:32)."""
+
+  def __init__(self, wrapped: Policy):
+    super().__init__(wrapped.time_step_spec, wrapped.action_spec,
+                     info_spec=wrapped.info_spec,
+                     state_spec=wrapped.state_spec, clip=wrapped.clip)
+    self.wrapped = wrapped
+
+  def _action(self, params, time_step, state, key):
+    dstep = self.wrapped._distribution(params, time_step, state)
+    action = jax.tree_util.tree_map(
+        lambda d: d.mode(), dstep.action,
+        is_leaf=lambda d: hasattr(d, "mode"))
+    return ps.PolicyStep(action=action, state=dstep.state, info=dstep.info)
+
+  def _distribution(self, params, time_step, state):
+    dstep = self.wrapped._distribution(params, time_step, state)
+    action = jax.tree_util.tree_map(
+        lambda d: dist_lib.Deterministic(d.mode()), dstep.action,
+        is_leaf=lambda d: hasattr(d, "mode"))
+    return dstep.replace(action=action)
+
+
+class EpsilonGreedyPolicy(Policy):
+  """With prob epsilon act uniformly at random, else greedily
+  (epsilon_greedy_policy.py:33). `epsilon` may be a float or a callable of
+  the train step for decay schedules."""
+
+  def __init__(self, wrapped: Policy, epsilon=0.1):
+    super().__init__(wrapped.time_step_spec, wrapped.action_spec,
+                     info_spec=wrapped.info_spec,
+                     state_spec=wrapped.state_spec, clip=wrapped.clip)
+    self.wrapped = wrapped
+    self.epsilon = epsilon
+
+  def _epsilon(self, params):
+    if callable(self.epsilon):
+      return self.epsilon(params)
+    return self.epsilon
+
+  def _action(self, params, time_step, state, key):
+    k_greedy, k_rand, k_mix = jax.random.split(key, 3)
+    dstep = self.wrapped._distribution(params, time_step, state)
+    greedy_action = jax.tree_util.tree_map(
+        lambda d: d.mode(), dstep.action,
+        is_leaf=lambda d: hasattr(d, "mode"))
+    batch_shape = jnp.shape(time_step.step_type)
+    random_action = array_spec.sample_spec_nest(
+        self.action_spec, k_rand, outer_dims=batch_shape)
+    # Respect action masks if the wrapped distribution is masked.
+    dist_leaves = jax.tree_util.tree_leaves(
+        dstep.action, is_leaf=lambda d: hasattr(d, "mode"))
+    if len(dist_leaves) == 1 and isinstance(
+        dist_leaves[0], dist_lib.MaskedCategorical):
+      d = dist_leaves[0]
+      uniform = dist_lib.MaskedCategorical(
+          logits=jnp.zeros_like(d.logits), mask=d.mask, dtype=d.dtype)
+      random_action = jax.tree_util.tree_unflatten(
+          jax.tree_util.tree_structure(
+              dstep.action,
+              is_leaf=lambda x: hasattr(x, "mode")),
+          [uniform.sample(k_rand)])
+    explore = jax.random.uniform(k_mix, batch_shape) < self._epsilon(params)
+    action = nest_utils.where(explore, random_action, greedy_action)
+    return ps.PolicyStep(action=action, state=dstep.state, info=dstep.info)
+
+  def _distribution(self, params, time_step, state):
+    raise NotImplementedError(
+        "EpsilonGreedyPolicy does not expose a distribution "
+        "(matches reference behavior)")
+
+
+class BoltzmannPolicy(Policy):
+  """Temperature-scaled sampling from a logits policy
+  (boltzmann_policy.py:28)."""
+
+  def __init__(self, wrapped: Policy, temperature=1.0):
+    super().__init__(wrapped.time_step_spec, wrapped.action_spec,
+                     info_spec=wrapped.info_spec,
+                     state_spec=wrapped.state_spec, clip=wrapped.clip)
+    self.wrapped = wrapped
+    self.temperature = temperature
+
+  def _distribution(self, params, time_step, state):
+    dstep = self.wrapped._distribution(params, time_step, state)
+
+    def _cool(d):
+      if isinstance(d, dist_lib.MaskedCategorical):
+        return dist_lib.MaskedCategorical(
+            logits=d.logits / self.temperature, mask=d.mask, dtype=d.dtype)
+      if isinstance(d, dist_lib.Categorical):
+        return dist_lib.Categorical(
+            logits=d.logits / self.temperature, dtype=d.dtype)
+      raise ValueError("BoltzmannPolicy requires a categorical policy")
+
+    action = jax.tree_util.tree_map(
+        _cool, dstep.action, is_leaf=lambda d: hasattr(d, "mode"))
+    return dstep.replace(action=action)
+
+
+class GaussianPolicy(Policy):
+  """Adds N(0, scale) exploration noise to the wrapped policy's action,
+  clipped to spec (gaussian_policy.py:33)."""
+
+  def __init__(self, wrapped: Policy, scale: float = 1.0):
+    super().__init__(wrapped.time_step_spec, wrapped.action_spec,
+                     info_spec=wrapped.info_spec,
+                     state_spec=wrapped.state_spec, clip=True)
+    self.wrapped = wrapped
+    self.scale = scale
+
+  def _action(self, params, time_step, state, key):
+    k_inner, k_noise = jax.random.split(key)
+    step = self.wrapped._action(params, time_step, state, k_inner)
+    leaves, treedef = jax.tree_util.tree_flatten(step.action)
+    keys = jax.random.split(k_noise, len(leaves))
+    noisy = [
+        a + self.scale * jax.random.normal(k, jnp.shape(a), a.dtype)
+        for a, k in zip(leaves, keys)
+    ]
+    action = jax.tree_util.tree_unflatten(treedef, noisy)
+    return step.replace(action=action)
+
+  def _distribution(self, params, time_step, state):
+    raise NotImplementedError
+
+
+class OUNoisePolicy(Policy):
+  """Ornstein-Uhlenbeck additive noise (ou_noise_policy.py:34); the OU
+  state is carried in the policy state alongside the wrapped state."""
+
+  def __init__(self, wrapped: Policy, ou_stddev: float = 1.0,
+               ou_damping: float = 1.0):
+    action_leaves = jax.tree_util.tree_leaves(
+        wrapped.action_spec,
+        is_leaf=lambda s: isinstance(s, array_spec.ArraySpec))
+    ou_specs = tuple(
+        array_spec.ArraySpec(s.shape, np.float32, "ou") for s in action_leaves)
+    super().__init__(wrapped.time_step_spec, wrapped.action_spec,
+                     info_spec=wrapped.info_spec,
+                     state_spec=(wrapped.state_spec, ou_specs), clip=True)
+    self.wrapped = wrapped
+    self.ou_stddev = ou_stddev
+    self.ou_damping = ou_damping
+
+  def init_state(self, batch_size=None):
+    outer = () if batch_size is None else (batch_size,)
+    return (self.wrapped.init_state(batch_size),
+            array_spec.zero_spec_nest(self.state_spec[1], outer_dims=outer))
+
+  def _action(self, params, time_step, state, key):
+    wrapped_state, ou_state = state
+    k_inner, k_noise = jax.random.split(key)
+    step = self.wrapped._action(params, time_step, wrapped_state, k_inner)
+    action_leaves, treedef = jax.tree_util.tree_flatten(step.action)
+    keys = jax.random.split(k_noise, len(action_leaves))
+    new_ou, noisy = [], []
+    for a, s, k in zip(action_leaves, ou_state, keys):
+      noise = jax.random.normal(k, jnp.shape(s), jnp.float32) * self.ou_stddev
+      s_new = (1.0 - self.ou_damping) * s + noise
+      new_ou.append(s_new)
+      noisy.append(a + s_new.astype(a.dtype))
+    action = jax.tree_util.tree_unflatten(treedef, noisy)
+    return ps.PolicyStep(action=action, state=(step.state, tuple(new_ou)),
+                         info=step.info)
+
+  def _distribution(self, params, time_step, state):
+    raise NotImplementedError

@@ -1,0 +1,144 @@
+"""On-HBM uniform replay: a jittable ring buffer over device memory.
+
+TPU-native replacement for both ``tf_agents/replay_buffers/
+tf_uniform_replay_buffer.py:47`` (in-graph ring over tf.Variables) and the
+dm-reverb C++ server in the actor-learner path (SURVEY.md §2.9): replay
+state is just a pytree — it lives sharded in HBM, `add_batch` is a
+dynamic-update-slice at ``frame % capacity`` (reference `_increment_last_id`
+:582 / row math :603), and `sample` gathers uniform ids from the valid
+window (reference `_get_next` :211-315). Because state is a pytree, the
+whole collect -> insert -> sample -> train iteration fuses into ONE jitted
+program with zero host round-trips.
+
+Layout: time-major ``[capacity, B, ...]`` per leaf, with `B` the number of
+parallel env rows (`batch_size` in the reference). Multi-host sharding
+shards the B axis over the mesh's `data` axis.
+
+Valid-window math (wraparound-safe, mirrors `_valid_range_ids`):
+  count = frames added so far; size = min(count, capacity)
+  a window of `num_steps` starting at time t is valid iff
+     count - size <= t  and  t + num_steps <= count
+so t ~ Uniform[count - size, count - num_steps].
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from agents_tpu.specs import array_spec
+
+
+@struct.dataclass
+class ReplayState:
+  storage: Any          # pytree: [capacity, B, ...]
+  count: jax.Array      # int32 scalar: total frames added
+
+
+class BufferInfo(NamedTuple):
+  """Sample metadata (reference BufferInfo(ids, probabilities))."""
+  ids: jax.Array            # [sample_batch_size] time ids
+  rows: jax.Array           # [sample_batch_size] env-row ids
+  probabilities: jax.Array  # [sample_batch_size]
+
+
+class UniformReplay:
+  """Uniform-sampling ring buffer.
+
+  Args:
+    data_spec: spec nest for one (unbatched) frame.
+    batch_size: number of parallel env rows B (reference add_batch batch).
+    max_length: ring capacity per row (reference max_length).
+  """
+
+  def __init__(self, data_spec, batch_size: int, max_length: int):
+    self.data_spec = data_spec
+    self.batch_size = int(batch_size)
+    self.capacity = int(max_length)
+
+  # -- lifecycle -----------------------------------------------------------
+  def init(self) -> ReplayState:
+    storage = array_spec.zero_spec_nest(
+        self.data_spec, outer_dims=(self.capacity, self.batch_size))
+    return ReplayState(storage=storage, count=jnp.zeros((), jnp.int32))
+
+  def clear(self, state: ReplayState) -> ReplayState:
+    return state.replace(count=jnp.zeros((), jnp.int32))
+
+  def size(self, state: ReplayState):
+    return jnp.minimum(state.count, self.capacity)
+
+  # -- write ---------------------------------------------------------------
+  def add_batch(self, state: ReplayState, items) -> ReplayState:
+    """Write one frame per env row: items is [B, ...] (reference
+    `_add_batch` :182)."""
+    row = state.count % self.capacity
+    storage = jax.tree_util.tree_map(
+        lambda s, x: s.at[row].set(x.astype(s.dtype)), state.storage, items)
+    return ReplayState(storage=storage, count=state.count + 1)
+
+  def add_sequence(self, state: ReplayState, items) -> ReplayState:
+    """Write [T, B, ...] frames via lax.scan of add_batch."""
+
+    def body(st, frame):
+      return self.add_batch(st, frame), ()
+
+    state, _ = jax.lax.scan(body, state, items)
+    return state
+
+  # -- read ----------------------------------------------------------------
+  def sample(self, state: ReplayState, key, sample_batch_size: int,
+             num_steps: Optional[int] = None):
+    """Uniform sample of windows.
+
+    Returns (batch, BufferInfo). With `num_steps=None` batch leaves are
+    [S, ...]; otherwise [S, num_steps, ...] (matching `as_dataset`
+    conventions, reference :329).
+    """
+    n = 1 if num_steps is None else int(num_steps)
+    k_t, k_b = jax.random.split(key)
+    size = self.size(state)
+    lo = state.count - size                      # oldest valid time id
+    hi = state.count - n + 1                     # exclusive upper bound
+    num_valid = jnp.maximum(hi - lo, 1)
+    t0 = lo + jax.random.randint(k_t, (sample_batch_size,), 0, num_valid)
+    rows = jax.random.randint(k_b, (sample_batch_size,), 0, self.batch_size)
+
+    batch = self._gather(state.storage, t0, rows, n)
+    if num_steps is None:
+      batch = jax.tree_util.tree_map(lambda x: x[:, 0], batch)
+    probs = jnp.full((sample_batch_size,),
+                     1.0 / (jnp.maximum(num_valid, 1) * self.batch_size),
+                     jnp.float32)
+    return batch, BufferInfo(ids=t0, rows=rows, probabilities=probs)
+
+  def _gather(self, storage, t0, rows, n):
+    """Gather [S, n, ...] windows via flat-index take (one gather per leaf,
+    XLA lowers to an efficient HBM gather; a Pallas kernel can replace this
+    for very large frames)."""
+    # time indices [S, n]
+    t_idx = (t0[:, None] + jnp.arange(n)[None, :]) % self.capacity
+    flat_idx = t_idx * self.batch_size + rows[:, None]      # [S, n]
+
+    def leaf_gather(s):
+      flat = s.reshape((self.capacity * self.batch_size,) + s.shape[2:])
+      return jnp.take(flat, flat_idx, axis=0)               # [S, n, ...]
+
+    return jax.tree_util.tree_map(leaf_gather, storage)
+
+  def gather_all(self, state: ReplayState):
+    """All frames, batch-major [B, capacity, ...], in insertion order
+    (reference gather_all). Only meaningful before wraparound for exact
+    ordering; after wraparound the ring is rotated so index 0 is oldest."""
+    start = jnp.where(state.count >= self.capacity,
+                      state.count % self.capacity, 0)
+    order = (jnp.arange(self.capacity) + start) % self.capacity
+
+    def leaf(s):
+      out = jnp.take(s, order, axis=0)          # [capacity, B, ...]
+      return jnp.moveaxis(out, 0, 1)            # [B, capacity, ...]
+
+    return jax.tree_util.tree_map(leaf, state.storage)

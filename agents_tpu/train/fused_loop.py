@@ -1,0 +1,139 @@
+"""The fused on-device training iteration.
+
+This is the TPU-native answer to the reference's classic train_eval loop
+(``tf_agents/agents/dqn/examples/v2/train_eval.py:291``): where the
+reference alternates a graph-mode collect driver, a tf.data iterator, and
+an agent.train tf.function — with host round-trips between each — here
+one jitted `iteration` does
+
+    collect (lax.scan over env+policy)
+    -> replay insert (dynamic-update-slice)
+    -> replay sample (gather)
+    -> agent.train (grad + optimizer + target update)
+    -> metric updates
+
+entirely in HBM. `run(num_iterations)` wraps iterations in another
+lax.scan so an arbitrary number of train iterations executes as ONE
+device program (the analogue of Learner.run(iterations=N),
+train/learner.py:310, without any host involvement).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from agents_tpu.drivers.jax_driver import DriverState, JaxDriver
+from agents_tpu.replay_buffers.uniform_replay import UniformReplay
+from agents_tpu.utils.common import LossInfo
+
+
+@struct.dataclass
+class LoopState:
+  driver_state: DriverState
+  replay_state: Any
+  agent_state: Any
+  metric_states: Any
+  key: jax.Array
+
+
+class FusedTrainLoop:
+  """collect -> insert -> sample -> train as one jitted iteration.
+
+  Args:
+    env: BatchedJaxEnv.
+    agent: an Agent (collect_policy drives collection).
+    replay: UniformReplay storing Trajectory frames.
+    metrics: sequence of jax_metrics.Metric updated during collection.
+    collect_steps_per_iteration: driver scan length per iteration.
+    sample_batch_size: replay sample size for training.
+    train_steps_per_iteration: gradient steps per iteration.
+  """
+
+  def __init__(self, env, agent, replay: UniformReplay, metrics=(),
+               collect_steps_per_iteration: int = 1,
+               sample_batch_size: int = 64,
+               train_steps_per_iteration: int = 1):
+    self.env = env
+    self.agent = agent
+    self.replay = replay
+    self.metrics = tuple(metrics)
+    self.collect_steps = collect_steps_per_iteration
+    self.sample_batch_size = sample_batch_size
+    self.train_steps = train_steps_per_iteration
+    observers = [self.replay.add_batch] + [m.update for m in self.metrics]
+    self.driver = JaxDriver(env, agent.collect_policy, observers=observers)
+
+  # -- lifecycle -----------------------------------------------------------
+  def init(self, key, initial_collect_steps: int = 0) -> LoopState:
+    k_agent, k_driver, k_collect, k_loop = jax.random.split(key, 4)
+    agent_state = self.agent.init(k_agent)
+    driver_state = self.driver.init(k_driver)
+    replay_state = self.replay.init()
+    metric_states = tuple(
+        m.init(self.env.batch_size) for m in self.metrics)
+    state = LoopState(driver_state=driver_state, replay_state=replay_state,
+                      agent_state=agent_state, metric_states=metric_states,
+                      key=k_loop)
+    if initial_collect_steps:
+      state = self.initial_collect(state, k_collect, initial_collect_steps)
+    return state
+
+  def initial_collect(self, state: LoopState, key,
+                      num_steps: int) -> LoopState:
+    """Seed replay with the collect policy (the reference uses a random
+    policy; epsilon-greedy at init is equivalently random for fresh nets)."""
+    params = self.agent.policy_params(state.agent_state)
+    obs_states = (state.replay_state,) + state.metric_states
+    driver_state, obs_states = self.driver.run(
+        params, state.driver_state, obs_states, key, num_steps)
+    return state.replace(driver_state=driver_state,
+                         replay_state=obs_states[0],
+                         metric_states=tuple(obs_states[1:]))
+
+  # -- one iteration ---------------------------------------------------------
+  def iteration(self, state: LoopState, _=None) -> Tuple[LoopState, LossInfo]:
+    key, k_collect, k_sample = jax.random.split(state.key, 3)
+    params = self.agent.policy_params(state.agent_state)
+    obs_states = (state.replay_state,) + state.metric_states
+    driver_state, obs_states = self.driver.run(
+        params, state.driver_state, obs_states, k_collect,
+        self.collect_steps)
+    replay_state = obs_states[0]
+    metric_states = tuple(obs_states[1:])
+
+    def train_once(agent_state, k):
+      experience, _ = self.replay.sample(
+          replay_state, k, self.sample_batch_size,
+          num_steps=self.agent.train_sequence_length)
+      agent_state, loss_info = self.agent.train(agent_state, experience)
+      return agent_state, loss_info
+
+    k_samples = jax.random.split(k_sample, self.train_steps)
+    agent_state, loss_infos = jax.lax.scan(
+        train_once, state.agent_state, k_samples)
+    loss_info = jax.tree_util.tree_map(lambda x: x[-1], loss_infos)
+
+    new_state = LoopState(driver_state=driver_state,
+                          replay_state=replay_state,
+                          agent_state=agent_state,
+                          metric_states=metric_states, key=key)
+    return new_state, loss_info
+
+  def run(self, state: LoopState, num_iterations: int):
+    """num_iterations fused iterations as one device program."""
+
+    def body(s, _):
+      s, loss = self.iteration(s)
+      return s, loss.loss
+
+    state, losses = jax.lax.scan(body, state, None, length=num_iterations)
+    return state, losses
+
+  def results(self, state: LoopState):
+    return {
+        m.name: m.result(ms)
+        for m, ms in zip(self.metrics, state.metric_states)
+    }

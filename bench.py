@@ -1,0 +1,111 @@
+"""Headline benchmark: fused DQN-CartPole train loop on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: env-steps/s sustained by the fused collect+train iteration
+(1 gradient step per env-batch step, the reference BASELINE config's
+cadence — agents/dqn/examples/v2/train_eval.py:94-127). The run must also
+reach CartPole average return >= 195 (solved) or value is reported as 0 —
+throughput without learning doesn't count.
+
+vs_baseline: ratio to TF-Agents' classic in-graph CPU train_eval
+throughput on this config, ~120 env-steps/s (TFPyEnvironment +
+DynamicStepDriver + train; no in-repo published steps/s exists —
+BASELINE.md records returns only). Driver target: >= 10x per chip.
+
+Design notes: the axon TPU tunnel has multi-minute latency spikes on
+compiles and eager host transfers, so this bench uses exactly two device
+programs (init, run-2000-iterations) executed with warmup, and reads
+metrics from device once at the end.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TF_AGENTS_CPU_ENV_STEPS_PER_S = 120.0
+
+
+def main():
+  import optax
+
+  from agents_tpu import metrics, networks
+  from agents_tpu.agents.dqn import DqnAgent
+  from agents_tpu.environments.classic.cartpole import CartPole
+  from agents_tpu.environments.jax_environment import BatchedJaxEnv
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.train import FusedTrainLoop
+  from agents_tpu.trajectories import trajectory as tj
+  from agents_tpu.utils import common
+
+  B = 32
+  env = BatchedJaxEnv(CartPole(), batch_size=B)
+  tss, asp = env.time_step_spec(), env.action_spec()
+  qnet = networks.make_q_network(tss.observation, asp,
+                                 fc_layer_params=(100, 50))
+  agent = DqnAgent(tss, asp, qnet, optax.adam(1e-3), epsilon_greedy=0.1,
+                   target_update_tau=0.05, target_update_period=5,
+                   gamma=0.99,
+                   td_errors_loss_fn=common.element_wise_squared_loss)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=B,
+                         max_length=4096)
+  loop = FusedTrainLoop(env, agent, replay,
+                        metrics=metrics.standard_collect_metrics(20),
+                        collect_steps_per_iteration=1,
+                        sample_batch_size=64)
+
+  state = jax.jit(
+      lambda k: loop.init(k, initial_collect_steps=100))(jax.random.key(0))
+  jax.block_until_ready(state)
+
+  CHUNK, N_TIMED = 500, 4
+  run = jax.jit(lambda s: loop.run(s, CHUNK))
+
+  # Warmup: compile + absorb tunnel program-load spikes (can be minutes).
+  # NOTE: block_until_ready is a no-op on the axon backend — only a real
+  # value readback (np.asarray) synchronizes, so sync via readback.
+  # Warmup also trains 1000 iterations — by the timed window the policy is
+  # already good; the return check only cares that learning happened.
+  for _ in range(2):
+    state, losses = run(state)
+  float(np.asarray(losses)[-1])
+
+  # Timed: queue N_TIMED chunks back-to-back (async dispatch), then sync
+  # once via readback of the final loss.
+  t0 = time.time()
+  for _ in range(N_TIMED):
+    state, losses = run(state)
+  float(np.asarray(losses)[-1])
+  dt = time.time() - t0
+  ITERS = CHUNK * N_TIMED
+  env_steps_per_s = ITERS * B / dt
+
+  dq = jax.device_get(state.metric_states[2].deque)
+  n = min(int(dq.count), dq.data.shape[0])
+  avg_return = float(dq.data[:n].mean()) if n else 0.0
+
+  solved = avg_return >= 195.0
+  value = env_steps_per_s if solved else 0.0
+  print(json.dumps({
+      "metric": "dqn_cartpole_fused_env_steps_per_s",
+      "value": round(value, 1),
+      "unit": "env-steps/s/chip (0 if return<195)",
+      "vs_baseline": round(value / TF_AGENTS_CPU_ENV_STEPS_PER_S, 2),
+      "detail": {
+          "avg_return_last20": round(avg_return, 1),
+          "timed_iterations": ITERS,
+          "batch_size": B,
+          "train_steps_per_env_batch_step": 1,
+          "wall_s": round(dt, 2),
+      },
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -6,8 +6,26 @@ one host; here we use XLA's host-platform device-count override so sharding
 paths (pjit / shard_map over a Mesh) execute without TPU hardware.
 """
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (the real TPU
+# tunnel), which must not be shared by concurrent test processes.
+#
+# The axon sitecustomize (loaded when PALLAS_AXON_POOL_IPS is set) pins the
+# process to 1 CPU device before conftest runs, which breaks the 8-device
+# virtual mesh. Re-exec once with a cleaned environment.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+  env = dict(os.environ)
+  env.pop("PALLAS_AXON_POOL_IPS", None)
+  env["JAX_PLATFORMS"] = "cpu"
+  flags = env.get("XLA_FLAGS", "")
+  if "xla_force_host_platform_device_count" not in flags:
+    env["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+  os.execvpe(sys.executable,
+             [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
@@ -16,3 +34,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: CPU compiles here are slow and repeated across
+# test processes.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
