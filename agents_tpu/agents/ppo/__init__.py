@@ -1,0 +1,4 @@
+from agents_tpu.agents.ppo.ppo_agent import PPOAgent, PPOAgentState
+from agents_tpu.agents.ppo.ppo_policy import PPOPolicy
+
+__all__ = ["PPOAgent", "PPOAgentState", "PPOPolicy"]

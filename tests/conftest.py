@@ -6,25 +6,9 @@ one host; here we use XLA's host-platform device-count override so sharding
 paths (pjit / shard_map over a Mesh) execute without TPU hardware.
 """
 import os
-import sys
 
-# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (the real TPU
-# tunnel), which must not be shared by concurrent test processes.
-#
-# The axon sitecustomize (loaded when PALLAS_AXON_POOL_IPS is set) pins the
-# process to 1 CPU device before conftest runs, which breaks the 8-device
-# virtual mesh. Re-exec once with a cleaned environment.
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
-  env = dict(os.environ)
-  env.pop("PALLAS_AXON_POOL_IPS", None)
-  env["JAX_PLATFORMS"] = "cpu"
-  flags = env.get("XLA_FLAGS", "")
-  if "xla_force_host_platform_device_count" not in flags:
-    env["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-  os.execvpe(sys.executable,
-             [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
+# Force CPU (the re-exec in the root conftest.py normally handles this
+# before we get here; keep as a belt-and-braces default).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
