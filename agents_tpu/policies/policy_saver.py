@@ -1,0 +1,135 @@
+"""Policy export/import.
+
+Analogue of ``tf_agents/policies/policy_saver.py:103`` (SavedModel export
+with action/get_initial_state/get_train_step/get_metadata signatures) and
+``policy_loader.py``. The TPU-native artifact is orbax-checkpointed params
+plus a JSON spec manifest; `load_policy` returns a `JittedPyPolicy`-style
+callable. Being pure pytrees, saved policies restore into ANY process
+(the SavedModelPyTFEagerPolicy analogue, py_tf_eager_policy.py:150) —
+`update_from_checkpoint` is just re-reading params (:253).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from agents_tpu.specs import array_spec
+
+
+def _spec_to_json(spec):
+  def leaf(s):
+    d = {"shape": list(s.shape), "dtype": np.dtype(s.dtype).name,
+         "name": s.name}
+    if isinstance(s, array_spec.BoundedArraySpec):
+      d["minimum"] = np.asarray(s.minimum).tolist()
+      d["maximum"] = np.asarray(s.maximum).tolist()
+    return d
+
+  return jax.tree_util.tree_map(
+      leaf, spec, is_leaf=lambda x: isinstance(x, array_spec.ArraySpec))
+
+
+def _spec_from_json(d):
+  if isinstance(d, dict) and "dtype" in d and "shape" in d:
+    if "minimum" in d:
+      return array_spec.BoundedArraySpec(
+          tuple(d["shape"]), d["dtype"], np.asarray(d["minimum"]),
+          np.asarray(d["maximum"]), d.get("name"))
+    return array_spec.ArraySpec(tuple(d["shape"]), d["dtype"], d.get("name"))
+  if isinstance(d, dict):
+    return {k: _spec_from_json(v) for k, v in d.items()}
+  if isinstance(d, list):
+    return [_spec_from_json(v) for v in d]
+  return d
+
+
+class PolicySaver:
+  """Saves (params, specs, train_step, metadata) for a policy."""
+
+  def __init__(self, policy, train_step: int = 0, metadata: Optional[dict] = None):
+    self.policy = policy
+    self.train_step = train_step
+    self.metadata = metadata or {}
+
+  def save(self, export_dir: str, params):
+    export_dir = os.path.abspath(export_dir)
+    os.makedirs(export_dir, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+      ckptr.save(os.path.join(export_dir, "params"), params, force=True)
+    manifest = {
+        "time_step_spec": {
+            "observation": _spec_to_json(
+                self.policy.time_step_spec.observation),
+            "reward": _spec_to_json(self.policy.time_step_spec.reward),
+        },
+        "action_spec": _spec_to_json(self.policy.action_spec),
+        "train_step": int(self.train_step),
+        "metadata": self.metadata,
+    }
+    with open(os.path.join(export_dir, "policy_manifest.json"), "w") as f:
+      json.dump(manifest, f, indent=2)
+
+  def save_checkpoint(self, export_dir: str, params):
+    """Params-only refresh (reference save_checkpoint :676)."""
+    with ocp.StandardCheckpointer() as ckptr:
+      ckptr.save(os.path.join(os.path.abspath(export_dir), "params"),
+                 params, force=True)
+
+
+class SavedPolicy:
+  """A loaded policy: numpy in, numpy out (SavedModelPyTFEagerPolicy
+  analogue)."""
+
+  def __init__(self, policy, params, train_step: int, metadata: dict,
+               export_dir: str):
+    from agents_tpu.policies.jitted_py_policy import JittedPyPolicy
+    self.policy = policy
+    self.params = params
+    self.train_step = train_step
+    self.metadata = metadata
+    self._export_dir = export_dir
+    self._py = JittedPyPolicy(policy, params)
+
+  def action(self, time_step, state=()):
+    return self._py.action(time_step, state)
+
+  def init_state(self, batch_size=None):
+    return self.policy.init_state(batch_size)
+
+  def get_train_step(self):
+    return self.train_step
+
+  def get_metadata(self):
+    return self.metadata
+
+  def update_from_checkpoint(self, export_dir: Optional[str] = None):
+    """Re-read params (reference :253)."""
+    export_dir = export_dir or self._export_dir
+    with ocp.StandardCheckpointer() as ckptr:
+      params = ckptr.restore(
+          os.path.join(os.path.abspath(export_dir), "params"), self.params)
+    self.params = params
+    self._py.update_params(params)
+
+
+def load_manifest(export_dir: str) -> dict:
+  with open(os.path.join(export_dir, "policy_manifest.json")) as f:
+    return json.load(f)
+
+
+def load_policy(export_dir: str, policy, params_template) -> SavedPolicy:
+  """Load exported params into a policy built by the caller (the network
+  architecture itself is code, not data — matching how the reference's
+  SavedModel embeds the graph, we embed it as the policy object)."""
+  export_dir = os.path.abspath(export_dir)
+  manifest = load_manifest(export_dir)
+  with ocp.StandardCheckpointer() as ckptr:
+    params = ckptr.restore(os.path.join(export_dir, "params"),
+                           params_template)
+  return SavedPolicy(policy, params, manifest["train_step"],
+                     manifest.get("metadata", {}), export_dir)

@@ -1,0 +1,122 @@
+"""Checkpointer / PolicySaver / Learner / Actor / triggers tests
+(mirrors train/learner_test.py, policies/policy_saver_test.py contracts)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from agents_tpu import metrics, networks, specs
+from agents_tpu.agents.dqn import DqnAgent
+from agents_tpu.environments.classic.cartpole import CartPole
+from agents_tpu.environments.jax_environment import BatchedJaxEnv
+from agents_tpu.environments.test_envs import CountingPyEnv
+from agents_tpu.policies import policy_saver as ps_lib
+from agents_tpu.replay_buffers import UniformReplay
+from agents_tpu.train import (Actor, Checkpointer, FusedTrainLoop,
+                              IntervalTrigger, Learner, collect_metrics)
+from agents_tpu.trajectories import time_step as ts
+from agents_tpu.trajectories import trajectory as tj
+from agents_tpu.utils import common
+
+
+def _make_loop(B=4):
+  env = BatchedJaxEnv(CartPole(), batch_size=B)
+  tss, asp = env.time_step_spec(), env.action_spec()
+  qnet = networks.make_q_network(tss.observation, asp,
+                                 fc_layer_params=(16,))
+  agent = DqnAgent(tss, asp, qnet, optax.adam(1e-3), gamma=0.99,
+                   td_errors_loss_fn=common.element_wise_squared_loss)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=B,
+                         max_length=256)
+  return FusedTrainLoop(env, agent, replay, sample_batch_size=16), agent
+
+
+def test_checkpointer_roundtrip(tmp_path):
+  ckpt = Checkpointer(str(tmp_path / "ck"), max_to_keep=2)
+  state = {"w": jnp.arange(4.0), "step": jnp.asarray(3)}
+  ckpt.save(3, state, force=True)
+  ckpt.wait()
+  template = {"w": jnp.zeros(4), "step": jnp.asarray(0)}
+  restored = ckpt.restore(template)
+  np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                [0.0, 1.0, 2.0, 3.0])
+  assert int(restored["step"]) == 3
+  # initialize_or_restore on empty dir returns template
+  ckpt2 = Checkpointer(str(tmp_path / "empty"))
+  out = ckpt2.initialize_or_restore(template)
+  assert int(out["step"]) == 0
+
+
+def test_policy_saver_roundtrip(tmp_path):
+  loop, agent = _make_loop()
+  agent_state = agent.init(jax.random.key(0))
+  params = agent.policy_params(agent_state)
+  saver = ps_lib.PolicySaver(agent.policy, train_step=7,
+                             metadata={"env": "CartPole"})
+  export = str(tmp_path / "greedy_policy")
+  saver.save(export, params)
+  loaded = ps_lib.load_policy(export, agent.policy, params)
+  assert loaded.get_train_step() == 7
+  assert loaded.get_metadata()["env"] == "CartPole"
+  step = ts.restart(np.zeros((1, 4), np.float32), batch_size=1)
+  astep = loaded.action(step)
+  assert int(np.asarray(astep.action)[0]) in (0, 1)
+  # actions match the in-memory policy exactly
+  direct = agent.policy.action(params, step, (), jax.random.key(0))
+  assert int(np.asarray(direct.action)[0]) == int(np.asarray(astep.action)[0])
+
+
+def test_learner_run_and_restore(tmp_path):
+  loop, agent = _make_loop()
+  state = loop.init(jax.random.key(0), initial_collect_steps=20)
+  learner = Learner(str(tmp_path), loop=loop, initial_state=state,
+                    checkpoint_interval=5)
+  loss = learner.run(iterations=5)
+  assert np.isfinite(loss)
+  assert learner.global_step == 5
+  learner.checkpoint()
+  learner.checkpointer.wait()
+
+  # New learner restores at step 5.
+  learner2 = Learner(str(tmp_path), loop=loop, initial_state=loop.init(
+      jax.random.key(1), initial_collect_steps=20), checkpoint_interval=5)
+  assert learner2.global_step == 5
+  np.testing.assert_array_equal(
+      np.asarray(jax.tree_util.tree_leaves(
+          learner2.state.agent_state.q_params)[0]),
+      np.asarray(jax.tree_util.tree_leaves(
+          learner.state.agent_state.q_params)[0]))
+
+
+def test_interval_trigger():
+  fired = []
+  trig = IntervalTrigger(10, lambda: fired.append(1))
+  trig(3)
+  assert not fired
+  trig(10)
+  assert len(fired) == 1
+  trig(19)
+  assert len(fired) == 1
+  trig(20)
+  assert len(fired) == 2
+
+
+def test_actor_with_host_env():
+  class GoRight:
+    def action(self, time_step, state=()):
+      from agents_tpu.trajectories import policy_step
+      return policy_step.PolicyStep(action=np.asarray(0, np.int32),
+                                    state=state)
+
+    def init_state(self, batch_size=None):
+      return ()
+
+  actor = Actor(CountingPyEnv(steps_per_episode=3), GoRight(),
+                steps_per_run=9, metrics=collect_metrics(5), name="collect")
+  actor.run()
+  results = actor.log_metrics()
+  assert results["AverageReturn"] == 3.0
+  assert results["EnvironmentSteps"] == 9
