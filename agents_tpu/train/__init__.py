@@ -21,3 +21,6 @@ __all__ = [
     "PolicyCheckpointTrigger", "StepPerSecondLogTrigger",
     "StepPerSecondTracker", "collect_metrics", "eval_metrics",
 ]
+from agents_tpu.train.async_host_device_loop import AsyncHostDeviceTrainLoop
+
+__all__ += ["AsyncHostDeviceTrainLoop"]

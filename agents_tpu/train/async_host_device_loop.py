@@ -1,0 +1,166 @@
+"""Asynchronous host-device training: collector and trainer overlap.
+
+This is the single-chip embodiment of the reference's distributed
+actor-learner (SURVEY.md §3.3: N collect processes + a learner process
+around a Reverb server). Device arrays are immutable, so the two host
+threads share state race-free by swapping *references*:
+
+  collector thread: device call (replay insert + policy action) + host
+                    env step; publishes the newest replay_state.
+  trainer thread:   device call (K gradient steps on a replay snapshot);
+                    publishes the newest agent_state (params the collector
+                    reads = the variable-container push/pull, without a
+                    container).
+
+The chip serializes the actual programs, but keeping two dispatch queues
+full hides the tunnel/dispatch latency that bounds the synchronous
+HostDeviceTrainLoop. An optional `utd_ratio` throttles the trainer to a
+fixed gradient-steps-per-env-step budget (the reference SAC config is
+1.0).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agents_tpu.specs import array_spec
+from agents_tpu.trajectories import policy_step as ps
+from agents_tpu.trajectories import trajectory as tj
+
+
+class AsyncHostDeviceTrainLoop:
+
+  def __init__(self, env, agent, replay, sample_batch_size: int = 256,
+               train_steps_per_call: int = 8,
+               utd_ratio: Optional[float] = None,
+               min_replay_frames: int = 1000, py_metrics=()):
+    self.env = env
+    self.agent = agent
+    self.replay = replay
+    self.sample_batch_size = sample_batch_size
+    self.train_steps_per_call = train_steps_per_call
+    self.utd_ratio = utd_ratio
+    self.min_replay_frames = min_replay_frames
+    self.py_metrics = list(py_metrics)
+
+    self._collect_prog = jax.jit(self._collect_fn)
+    self._train_prog = jax.jit(self._train_fn)
+
+    self._replay_state = None
+    self._agent_state = None
+    self._env_steps = 0
+    self._train_steps = 0
+    self._last_loss = float("nan")
+    self._stop = threading.Event()
+
+  # -- device programs -------------------------------------------------------
+  def _collect_fn(self, replay_state, params, host_ts, prev_ts, prev_action,
+                  key):
+    frame = tj.from_transition(
+        prev_ts, ps.PolicyStep(action=prev_action), host_ts)
+    replay_state = self.replay.add_batch(replay_state, frame)
+    action_step = self.agent.collect_policy.action(params, host_ts, (), key)
+    return replay_state, action_step.action
+
+  def _train_fn(self, agent_state, replay_state, key):
+    def train_once(ag, k):
+      experience, _ = self.replay.sample(
+          replay_state, k, self.sample_batch_size,
+          num_steps=self.agent.train_sequence_length)
+      ag, loss_info = self.agent.train(ag, experience)
+      return ag, loss_info.loss
+
+    ks = jax.random.split(key, self.train_steps_per_call)
+    agent_state, losses = jax.lax.scan(train_once, agent_state, ks)
+    return agent_state, losses[-1]
+
+  # -- trainer thread ----------------------------------------------------------
+  def _trainer_loop(self, seed):
+    key = jax.random.key(seed)
+    calls = 0
+    while not self._stop.is_set():
+      if self._env_steps < self.min_replay_frames:
+        time.sleep(0.01)
+        continue
+      if self.utd_ratio is not None and self._train_steps >= \
+          self.utd_ratio * self._env_steps:
+        time.sleep(0.001)
+        continue
+      key, sub = jax.random.split(key)
+      agent_state, loss = self._train_prog(
+          self._agent_state, self._replay_state, sub)
+      self._agent_state = agent_state
+      self._train_steps += self.train_steps_per_call
+      calls += 1
+      # Sync via readback only every 16 calls: value readback is the only
+      # real synchronization on this backend and costs a host round trip;
+      # in between, the dispatch queue keeps the device pipelined.
+      if calls % 16 == 0:
+        self._last_loss = float(np.asarray(loss))
+
+  # -- main -------------------------------------------------------------------
+  def run(self, total_env_batch_steps: int, seed: int = 0,
+          initial_random_steps: int = 100,
+          progress_fn=None, progress_every: int = 1000):
+    B = self.env.batch_size
+    rng = np.random.RandomState(seed)
+    self._agent_state = self.agent.init(jax.random.key(seed))
+    self._replay_state = self.replay.init()
+    key = jax.random.key(seed + 1)
+
+    time_step = self.env.reset()
+    prev_ts = time_step
+    prev_action = array_spec.zero_spec_nest(
+        self.agent.action_spec, outer_dims=(B,))
+
+    def random_action():
+      return array_spec.map_spec_nest(
+          lambda s: rng.uniform(
+              np.maximum(np.asarray(s.minimum, np.float64), -1e6),
+              np.minimum(np.asarray(s.maximum, np.float64), 1e6),
+              size=(B,) + s.shape).astype(s.dtype),
+          self.agent.action_spec)
+
+    trainer = threading.Thread(
+        target=self._trainer_loop, args=(seed + 2,), daemon=True)
+    trainer.start()
+    t0 = time.time()
+    try:
+      for tick in range(total_env_batch_steps):
+        key, sub = jax.random.split(key)
+        params = self.agent.policy_params(self._agent_state)
+        self._replay_state, action = self._collect_prog(
+            self._replay_state, params, time_step, prev_ts, prev_action,
+            sub)
+        if tick * B < initial_random_steps * B and \
+            tick < max(initial_random_steps, 1):
+          action_np = random_action()
+        else:
+          action_np = jax.tree_util.tree_map(np.asarray, action)
+        next_ts = self.env.step(action_np)
+        if self.py_metrics:
+          frame = tj.from_transition(
+              time_step, ps.PolicyStep(action=action_np), next_ts)
+          for m in self.py_metrics:
+            m(frame)
+        prev_ts, prev_action = time_step, action_np
+        time_step = next_ts
+        self._env_steps = (tick + 1) * B
+        if progress_fn and (tick + 1) % progress_every == 0:
+          progress_fn(self)
+    finally:
+      self._stop.set()
+      trainer.join(timeout=10)
+    return {
+        "env_steps": self._env_steps,
+        "train_steps": self._train_steps,
+        "wall_s": time.time() - t0,
+        "last_loss": self._last_loss,
+        "metrics": {m.name: m.result() for m in self.py_metrics},
+        "agent_state": self._agent_state,
+    }

@@ -31,6 +31,7 @@ class OnPolicyLoopState:
 class OnPolicyTrainLoop:
 
   def __init__(self, env, agent, metrics=(), rollout_length: int = 128):
+    import inspect
     self.env = env
     self.agent = agent
     self.metrics = tuple(metrics)
@@ -38,6 +39,8 @@ class OnPolicyTrainLoop:
     self.driver = JaxDriver(env, agent.collect_policy,
                             observers=[m.update for m in self.metrics],
                             return_trajectories=True)
+    self._train_takes_key = "key" in inspect.signature(
+        agent.train).parameters
 
   def init(self, key) -> OnPolicyLoopState:
     k_agent, k_driver, k_loop = jax.random.split(key, 3)
@@ -58,8 +61,12 @@ class OnPolicyTrainLoop:
     # [T, B, ...] -> [B, T, ...]
     experience = jax.tree_util.tree_map(
         lambda x: jnp.swapaxes(x, 0, 1), frames)
-    agent_state, loss_info = self.agent.train(
-        state.agent_state, experience, key=k_train)
+    if self._train_takes_key:
+      agent_state, loss_info = self.agent.train(
+          state.agent_state, experience, key=k_train)
+    else:
+      agent_state, loss_info = self.agent.train(state.agent_state,
+                                                experience)
     return OnPolicyLoopState(
         driver_state=driver_state, agent_state=agent_state,
         metric_states=metric_states, key=key), loss_info
