@@ -54,10 +54,12 @@ class UniformReplay:
     max_length: ring capacity per row (reference max_length).
   """
 
-  def __init__(self, data_spec, batch_size: int, max_length: int):
+  def __init__(self, data_spec, batch_size: int, max_length: int,
+               use_pallas_gather: bool = True):
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
+    self.use_pallas_gather = use_pallas_gather
 
   # -- lifecycle -----------------------------------------------------------
   def init(self) -> ReplayState:
@@ -116,16 +118,19 @@ class UniformReplay:
     return batch, BufferInfo(ids=t0, rows=rows, probabilities=probs)
 
   def _gather(self, storage, t0, rows, n):
-    """Gather [S, n, ...] windows via flat-index take (one gather per leaf,
-    XLA lowers to an efficient HBM gather; a Pallas kernel can replace this
-    for very large frames)."""
+    """Gather [S, n, ...] windows by flat index. Large rows route through
+    the Pallas DMA-gather kernel (ops/replay_gather.py); small rows use
+    XLA's gather."""
+    from agents_tpu.ops.replay_gather import gather_rows
+
     # time indices [S, n]
     t_idx = (t0[:, None] + jnp.arange(n)[None, :]) % self.capacity
-    flat_idx = t_idx * self.batch_size + rows[:, None]      # [S, n]
+    flat_idx = (t_idx * self.batch_size + rows[:, None]).reshape(-1)
 
     def leaf_gather(s):
       flat = s.reshape((self.capacity * self.batch_size,) + s.shape[2:])
-      return jnp.take(flat, flat_idx, axis=0)               # [S, n, ...]
+      out = gather_rows(flat, flat_idx, use_pallas=self.use_pallas_gather)
+      return out.reshape((t_idx.shape[0], n) + s.shape[2:])
 
     return jax.tree_util.tree_map(leaf_gather, storage)
 
