@@ -1,0 +1,110 @@
+"""Episodic replay, host replay buffers, dataset IO tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agents_tpu import specs
+from agents_tpu.replay_buffers.episodic_replay import EpisodicReplay
+from agents_tpu.replay_buffers.py_uniform_replay import (
+    PyHashedReplayBuffer, PyUniformReplayBuffer)
+from agents_tpu.trajectories import trajectory as tj
+
+SPEC = tj.Trajectory(
+    step_type=specs.ArraySpec((), np.int32),
+    observation=specs.ArraySpec((2,), np.float32),
+    action=specs.ArraySpec((), np.int32),
+    policy_info=(),
+    next_step_type=specs.ArraySpec((), np.int32),
+    reward=specs.ArraySpec((), np.float32),
+    discount=specs.ArraySpec((), np.float32),
+)
+
+
+def _frame(B, t, done):
+  return tj.Trajectory(
+      step_type=jnp.full((B,), 0 if t == 0 else 1, jnp.int32),
+      observation=jnp.full((B, 2), float(t)),
+      action=jnp.full((B,), t, jnp.int32),
+      policy_info=(),
+      next_step_type=jnp.full((B,), 2 if done else 1, jnp.int32),
+      reward=jnp.ones((B,)),
+      discount=jnp.ones((B,)))
+
+
+def test_episodic_replay_commit_and_sample():
+  replay = EpisodicReplay(SPEC, batch_size=2, num_slots=8,
+                          max_episode_len=5)
+  state = replay.init()
+  add = jax.jit(replay.add_batch)
+  # 3-frame episode, then a 2-frame episode.
+  for t, done in [(0, False), (1, False), (2, True)]:
+    state = add(state, _frame(2, t, done))
+  assert int(state.num_completed) == 2  # both rows finished
+  for t, done in [(0, False), (1, True)]:
+    state = add(state, _frame(2, t, done))
+  assert int(state.num_completed) == 4
+  eps, mask = replay.sample_episodes(state, jax.random.key(0), 6)
+  assert eps.observation.shape == (6, 5, 2)
+  lens = np.asarray(mask.sum(axis=1))
+  assert set(lens).issubset({2.0, 3.0})
+  # Masked frames beyond length are padding.
+  m = np.asarray(mask)
+  obs = np.asarray(eps.observation)
+  for i in range(6):
+    L = int(lens[i])
+    np.testing.assert_array_equal(obs[i, :L, 0], np.arange(L))
+
+
+def test_py_uniform_replay():
+  buf = PyUniformReplayBuffer({"x": specs.ArraySpec((), np.int32)}, 8)
+  for i in range(12):
+    buf.add({"x": np.asarray(i, np.int32)})
+  assert len(buf) == 8
+  out = buf.sample(64, rng=np.random.RandomState(0))
+  assert out["x"].min() >= 4  # ring keeps last 8
+  seq = buf.sample(16, num_steps=2, rng=np.random.RandomState(1))
+  np.testing.assert_array_equal(seq["x"][:, 1], seq["x"][:, 0] + 1)
+  np.testing.assert_array_equal(buf.gather_all()["x"], np.arange(4, 12))
+
+
+def test_py_hashed_replay_dedups():
+  spec = {"observation": specs.ArraySpec((4,), np.uint8),
+          "action": specs.ArraySpec((), np.int32)}
+  buf = PyHashedReplayBuffer(spec, 16)
+  frame = np.ones(4, np.uint8)
+  for i in range(10):
+    buf.add({"observation": frame, "action": np.asarray(i, np.int32)})
+  assert buf.num_unique_observations == 1
+
+
+def test_dataset_io_roundtrip(tmp_path):
+  from agents_tpu.utils.dataset_io import (TrajectoryFileObserver,
+                                           load_trajectory_dataset)
+  obs = TrajectoryFileObserver(str(tmp_path / "ds"), SPEC,
+                               frames_per_shard=4)
+  frames = [_frame(2, t, t == 3) for t in range(6)]
+  for f in frames:
+    obs(f)
+  obs.flush()
+  shards = list(load_trajectory_dataset(str(tmp_path / "ds"), frames[0]))
+  assert len(shards) == 2
+  total = sum(s.action.shape[0] for s in shards)
+  assert total == 6
+  np.testing.assert_array_equal(np.asarray(shards[0].action[:, 0]),
+                                [0, 1, 2, 3])
+
+
+def test_dataset_to_replay(tmp_path):
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.utils.dataset_io import (TrajectoryFileObserver,
+                                           dataset_to_replay)
+  obs = TrajectoryFileObserver(str(tmp_path / "ds"), SPEC,
+                               frames_per_shard=8)
+  frames = [_frame(2, t, False) for t in range(8)]
+  for f in frames:
+    obs(f)
+  obs.flush()
+  replay = UniformReplay(SPEC, batch_size=2, max_length=32)
+  state = dataset_to_replay(str(tmp_path / "ds"), frames[0], replay,
+                            replay.init())
+  assert int(state.count) == 8
