@@ -59,7 +59,8 @@ class DqnAgent(Agent):
                reward_scale_factor: float = 1.0,
                target_update_tau: float = 1.0,
                target_update_period: int = 1,
-               gradient_clipping: Optional[float] = None):
+               gradient_clipping: Optional[float] = None,
+               train_sequence_length: Optional[int] = None):
     self.time_step_spec = time_step_spec
     self.action_spec = action_spec
     self.q_network = q_network
@@ -73,7 +74,8 @@ class DqnAgent(Agent):
     self.target_update_period = target_update_period
     self.gradient_clipping = gradient_clipping
     self.splitter = observation_and_action_constraint_splitter
-    self.train_sequence_length = n_step_update + 1
+    self.train_sequence_length = (train_sequence_length
+                                  or n_step_update + 1)
 
     q_policy = QPolicy(time_step_spec, action_spec, q_network,
                        observation_and_action_constraint_splitter=self.splitter)
@@ -114,7 +116,12 @@ class DqnAgent(Agent):
 
   # -- train ---------------------------------------------------------------
   def _loss(self, q_params, agent_state, experience, weights=None):
-    """experience: Trajectory [B, T=n_step+1]."""
+    """experience: Trajectory [B, T=n_step+1] (feed-forward) or [B, T]
+    sequences for recurrent q networks (reference q_rnn training path:
+    the whole sequence unrolls with reset masking and TD applies at every
+    adjacent pair, dqn_agent.py with train_sequence_length > 2)."""
+    if self.q_network.state_spec != ():
+      return self._sequence_loss(q_params, agent_state, experience, weights)
     transition = tj.to_n_step_transition(experience, gamma=self.gamma)
     time_steps = transition.time_step
     actions = transition.action_step.action
@@ -138,6 +145,38 @@ class DqnAgent(Agent):
     td_loss = valid_mask * td_loss
 
     loss = common.aggregate_losses(per_example_loss=td_loss,
+                                   sample_weight=weights)
+    return loss, DqnLossExtra(td_loss=td_loss, td_error=td_error)
+
+  def _sequence_loss(self, q_params, agent_state, experience, weights=None):
+    """TD loss over full sequences for recurrent Q networks. The LSTM
+    unrolls once over [B, T] with FIRST-step reset masking; TD pairs are
+    (t, t+1) frames, masked at episode boundaries."""
+    obs = experience.observation
+    step_type = experience.step_type
+    q_all, _ = self.q_network.apply(
+        q_params, obs, step_type, None)                    # [B, T, A]
+    q_taken = common.index_with_actions(q_all, experience.action)
+
+    target_all, _ = self.q_network.apply(
+        agent_state.target_q_params, obs, step_type, None)
+    next_q = jnp.max(target_all, axis=-1)                  # [B, T]
+
+    rewards = self.reward_scale_factor * experience.reward[:, :-1]
+    discounts = self.gamma * experience.discount[:, :-1]
+    td_targets = jax.lax.stop_gradient(
+        rewards + discounts * next_q[:, 1:])
+    td_error = td_targets - q_taken[:, :-1]
+    td_loss = self.td_errors_loss_fn(td_targets, q_taken[:, :-1])
+
+    valid = (experience.step_type[:, :-1] != ts.StepType.LAST).astype(
+        jnp.float32)
+    td_loss = td_loss * valid
+    td_error = td_error * valid
+    # Sum over time, mean over batch (reference sums the time dim,
+    # dqn_agent.py:520-530).
+    per_example = jnp.sum(td_loss, axis=1)
+    loss = common.aggregate_losses(per_example_loss=per_example,
                                    sample_weight=weights)
     return loss, DqnLossExtra(td_loss=td_loss, td_error=td_error)
 

@@ -21,3 +21,17 @@ __all__ = [
     "NeuralBoltzmannAgent", "NeuralEpsilonGreedyAgent", "NeuralFalconAgent",
     "NeuralLinUcbAgent",
 ]
+from agents_tpu.bandits.agents.mixture_and_ranking_agents import (
+    DropoutThompsonSamplingAgent,
+    Exp3MixtureAgent,
+    GreedyMultiObjectiveNeuralAgent,
+    MixtureAgent,
+    RankingAgent,
+    StaticMixtureAgent,
+)
+
+__all__ += [
+    "DropoutThompsonSamplingAgent", "Exp3MixtureAgent",
+    "GreedyMultiObjectiveNeuralAgent", "MixtureAgent", "RankingAgent",
+    "StaticMixtureAgent",
+]

@@ -81,7 +81,7 @@ class LinearBanditAgent(Agent):
     actions = experience.action
     rewards = experience.reward
     # Accept [B, 1, ...] (time-stacked length-1 episodes) or [B, ...].
-    if rewards.ndim == 2:
+    if experience.step_type.ndim == 2:
       obs = jax.tree_util.tree_map(lambda x: x[:, 0], obs)
       actions = actions[:, 0]
       rewards = rewards[:, 0]

@@ -41,8 +41,10 @@ class RewardNetAgentState:
 
 
 def _squeeze_bandit_batch(experience):
-  """Accept [B, 1, ...] length-1 episodes or flat [B, ...]."""
-  if experience.reward.ndim == 2:
+  """Accept [B, 1, ...] length-1 episodes or flat [B, ...] (keyed on
+  step_type rank — rewards may legitimately have inner dims for
+  multi-objective / slate feedback)."""
+  if experience.step_type.ndim == 2:
     return jax.tree_util.tree_map(lambda x: x[:, 0], experience)
   return experience
 

@@ -44,7 +44,7 @@ def main():
   from agents_tpu.trajectories import trajectory as tj
   from agents_tpu.utils import common
 
-  B = 32
+  B = 1024
   env = BatchedJaxEnv(CartPole(), batch_size=B)
   tss, asp = env.time_step_spec(), env.action_spec()
   qnet = networks.make_q_network(tss.observation, asp,
@@ -54,11 +54,11 @@ def main():
                    gamma=0.99,
                    td_errors_loss_fn=common.element_wise_squared_loss)
   replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=B,
-                         max_length=4096)
+                         max_length=512)
   loop = FusedTrainLoop(env, agent, replay,
                         metrics=metrics.standard_collect_metrics(20),
                         collect_steps_per_iteration=1,
-                        sample_batch_size=64)
+                        sample_batch_size=256)
 
   state = jax.jit(
       lambda k: loop.init(k, initial_collect_steps=100))(jax.random.key(0))
