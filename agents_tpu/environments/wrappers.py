@@ -425,3 +425,97 @@ class ObservationFilterWrapper(PyEnvironmentBaseWrapper):
 
   def _step(self, action):
     return self._filter(self._env.step(action))
+
+
+class FlattenActionWrapper(PyEnvironmentBaseWrapper):
+  """Flattens a nest of action specs into one 1-D continuous action
+  (reference :298)."""
+
+  def __init__(self, env):
+    super().__init__(env)
+    import jax
+    self._leaves = jax.tree_util.tree_leaves(
+        env.action_spec(),
+        is_leaf=lambda s: isinstance(s, array_spec.ArraySpec))
+    self._treedef = jax.tree_util.tree_structure(
+        env.action_spec(),
+        is_leaf=lambda s: isinstance(s, array_spec.ArraySpec))
+    if not all(array_spec.is_continuous(s) for s in self._leaves):
+      raise ValueError("FlattenActionWrapper requires continuous specs")
+    sizes = [int(np.prod(s.shape)) if s.shape else 1 for s in self._leaves]
+    self._sizes = sizes
+    lows = np.concatenate([
+        np.broadcast_to(s.minimum, s.shape or (1,)).ravel()
+        for s in self._leaves])
+    highs = np.concatenate([
+        np.broadcast_to(s.maximum, s.shape or (1,)).ravel()
+        for s in self._leaves])
+    self._action_spec = array_spec.BoundedArraySpec(
+        (sum(sizes),), self._leaves[0].dtype, lows, highs, "action")
+
+  def action_spec(self):
+    return self._action_spec
+
+  def _step(self, action):
+    import jax
+    flat = np.asarray(action)
+    parts, off = [], 0
+    for s, size in zip(self._leaves, self._sizes):
+      parts.append(flat[off:off + size].reshape(s.shape).astype(s.dtype))
+      off += size
+    return self._env.step(jax.tree_util.tree_unflatten(self._treedef, parts))
+
+
+class ExtraDisabledActionsWrapper(PyEnvironmentBaseWrapper):
+  """Adds `num_extra_actions` unusable actions plus a validity mask in the
+  observation (reference :1181): observation becomes
+  {'observation': obs, 'valid_actions': mask}."""
+
+  def __init__(self, env, num_extra_actions: int):
+    super().__init__(env)
+    spec = env.action_spec()
+    if not array_spec.is_discrete(spec) or spec.shape != ():
+      raise ValueError("Requires scalar discrete action spec")
+    self._orig_num = spec.num_values
+    self._total = self._orig_num + num_extra_actions
+    self._action_spec = array_spec.BoundedArraySpec(
+        (), spec.dtype, 0, self._total - 1, "action")
+    self._observation_spec = {
+        "observation": env.observation_spec(),
+        "valid_actions": array_spec.BoundedArraySpec(
+            (self._total,), np.bool_, False, True, "valid_actions"),
+    }
+
+  def observation_spec(self):
+    return self._observation_spec
+
+  def action_spec(self):
+    return self._action_spec
+
+  def _mask(self, time_step):
+    mask = np.zeros((self._total,), np.bool_)
+    mask[:self._orig_num] = True
+    return time_step.replace(observation={
+        "observation": time_step.observation, "valid_actions": mask})
+
+  def _reset(self):
+    return self._mask(self._env.reset())
+
+  def _step(self, action):
+    a = int(np.asarray(action))
+    if a >= self._orig_num:
+      raise ValueError(f"Disabled action {a} taken (valid < {self._orig_num})")
+    return self._mask(self._env.step(action))
+
+
+class GoalReplayEnvWrapper(PyEnvironmentBaseWrapper):
+  """Hindsight-style goal substitution hook (reference :942): exposes
+  `get_trajectory_with_goal(trajectory, goal)` to relabel stored
+  trajectories with achieved goals. Subclass and implement the two
+  abstract hooks for a concrete goal-conditioned env."""
+
+  def get_goal_from_trajectory(self, trajectory):
+    raise NotImplementedError
+
+  def get_trajectory_with_goal(self, trajectory, goal):
+    raise NotImplementedError
