@@ -24,3 +24,6 @@ __all__ = [
 from agents_tpu.train.async_host_device_loop import AsyncHostDeviceTrainLoop
 
 __all__ += ["AsyncHostDeviceTrainLoop"]
+from agents_tpu.train.host_on_policy_loop import HostOnPolicyTrainLoop
+
+__all__ += ["HostOnPolicyTrainLoop"]

@@ -1,0 +1,91 @@
+"""PPO-Clip on MuJoCo HalfCheetah (schulman17 config shape).
+
+Analogue of ``tf_agents/examples/ppo/schulman17/ppo_clip_train_eval.py``:
+host MuJoCo stepping + fused on-device PPO update per rollout.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+  root_dir: str = "/tmp/agents_tpu/ppo_halfcheetah"
+  env_name: str = "HalfCheetah-v5"
+  env_batch_size: int = 32
+  rollout_length: int = 128
+  num_iterations: int = 250          # ~1M transitions total
+  num_epochs: int = 10
+  num_minibatches: int = 32
+  learning_rate: float = 3e-4
+  importance_ratio_clipping: float = 0.2
+  lambda_value: float = 0.95
+  discount_factor: float = 0.99
+  entropy_regularization: float = 0.0
+  actor_fc_layers: tuple = (64, 64)
+  value_fc_layers: tuple = (64, 64)
+  log_interval: int = 5
+
+
+def train_eval(cfg: Config):
+  import jax
+  import numpy as np
+  import optax
+
+  from agents_tpu import networks
+  from agents_tpu.agents.ppo import PPOClipAgent
+  from agents_tpu.environments import suite_gym
+  from agents_tpu.environments.batched_py_environment import (
+      BatchedPyEnvironment,)
+  from agents_tpu.metrics import py_metrics
+  from agents_tpu.train import HostOnPolicyTrainLoop, JsonlSummaryWriter
+
+  env = BatchedPyEnvironment(
+      [suite_gym.load(cfg.env_name) for _ in range(cfg.env_batch_size)])
+  tss, asp = env.time_step_spec(), env.action_spec()
+  agent = PPOClipAgent(
+      tss, asp, optax.adam(cfg.learning_rate),
+      networks.make_actor_distribution_network(
+          tss.observation, asp, fc_layer_params=cfg.actor_fc_layers),
+      networks.make_value_network(tss.observation,
+                                  fc_layer_params=cfg.value_fc_layers),
+      importance_ratio_clipping=cfg.importance_ratio_clipping,
+      discount_factor=cfg.discount_factor,
+      lambda_value=cfg.lambda_value, num_epochs=cfg.num_epochs,
+      num_minibatches=cfg.num_minibatches,
+      entropy_regularization=cfg.entropy_regularization)
+  loop = HostOnPolicyTrainLoop(
+      env, agent, rollout_length=cfg.rollout_length,
+      py_metrics=[py_metrics.AverageReturnMetric(20),
+                  py_metrics.EnvironmentSteps()])
+  writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "train.jsonl"))
+  agent_state, time_step = loop.init(0)
+  key = jax.random.key(1)
+  t0 = time.time()
+  ret = 0.0
+  for it in range(1, cfg.num_iterations + 1):
+    agent_state, time_step, key, info = loop.run_iteration(
+        agent_state, time_step, key)
+    if it % cfg.log_interval == 0:
+      results = loop.metric_results()
+      ret = results["AverageReturn"]
+      steps = results["EnvironmentSteps"]
+      print(f"iter {it}: env_steps={steps} AverageReturn={ret:.0f} "
+            f"loss={float(info.loss):.3f} "
+            f"({steps/(time.time()-t0):.0f} env-steps/s)", flush=True)
+      writer.scalar("AverageReturn", ret, steps)
+  return ret
+
+
+if __name__ == "__main__":
+  from agents_tpu.utils import config as config_lib
+
+  cfg = config_lib.parse_flags(Config())
+  os.makedirs(cfg.root_dir, exist_ok=True)
+  config_lib.save(cfg, os.path.join(cfg.root_dir, "config.json"))
+  final = train_eval(cfg)
+  print(json.dumps({"final_average_return": final}))
