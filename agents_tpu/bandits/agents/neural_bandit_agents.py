@@ -49,13 +49,81 @@ def _squeeze_bandit_batch(experience):
   return experience
 
 
+class _ConstrainedGreedyPolicy(Policy):
+  """Greedy over predicted rewards masked by constraint feasibility
+  (reference greedy_reward_prediction_policy.py + constraints.py:575).
+  Feasibility is Bernoulli-sampled when a key is supplied (collection),
+  thresholded at 0.5 when not (deterministic eval)."""
+
+  def __init__(self, time_step_spec, action_spec, reward_network,
+               constraints, splitter, epsilon: float = 0.0):
+    super().__init__(time_step_spec, action_spec, clip=False)
+    self.reward_network = reward_network
+    self.constraints = tuple(constraints)
+    self.splitter = splitter
+    self.epsilon = epsilon
+    self.num_actions = action_spec.num_values
+
+  def _masked_preds(self, params, time_step, state, key):
+    from agents_tpu.bandits.policies import constraints as constraints_lib
+    obs = time_step.observation
+    if key is not None:
+      obs, mask = constraints_lib.construct_mask_from_multiple_sources(
+          key, obs, self.splitter, self.constraints, params["constraints"],
+          self.num_actions)
+    else:
+      if self.splitter is not None:
+        obs, mask = self.splitter(obs)
+      else:
+        mask = None
+      prob = constraints_lib.compute_feasibility_probability(
+          obs, self.constraints, params["constraints"], self.num_actions,
+          mask)
+      mask = (prob >= 0.5).astype(jnp.int32)
+    preds, new_state = self.reward_network.apply(
+        params["reward"], obs, time_step.step_type, state)
+    if mask is not None:
+      masked = jnp.where(mask > 0, preds, -1e9)
+      any_valid = jnp.any(mask > 0, axis=-1, keepdims=True)
+      preds = jnp.where(any_valid, masked, preds)
+    return preds, new_state
+
+  def _action(self, params, time_step, state, key):
+    k_mask, k_eps, k_rand = (jax.random.split(key, 3) if key is not None
+                             else (None, None, None))
+    preds, new_state = self._masked_preds(params, time_step, state, k_mask)
+    action = jnp.argmax(preds, axis=-1)
+    if self.epsilon and key is not None:
+      batch = jnp.shape(time_step.step_type)
+      rand = jax.random.randint(k_rand, batch, 0, self.num_actions)
+      explore = jax.random.uniform(k_eps, batch) < self.epsilon
+      action = jnp.where(explore, rand, action)
+    return ps.PolicyStep(
+        action=action.astype(jnp.dtype(self.action_spec.dtype)),
+        state=new_state, info=())
+
+  def _distribution(self, params, time_step, state):
+    preds, new_state = self._masked_preds(params, time_step, state, None)
+    return ps.PolicyStep(
+        action=dist_lib.Categorical(
+            jnp.where(preds >= jnp.max(preds, axis=-1, keepdims=True),
+                      0.0, -1e9),
+            dtype=jnp.dtype(self.action_spec.dtype)),
+        state=new_state, info=())
+
+
 class GreedyRewardPredictionAgent(Agent):
   """Supervised reward net + greedy arm choice (reference
-  greedy_reward_prediction_agent.py)."""
+  greedy_reward_prediction_agent.py). With `constraints`, the reward is a
+  dict {REWARD_SPEC_KEY, CONSTRAINTS_SPEC_KEY: [B, n_c]} and each
+  constraint's network trains jointly (reference :397-415); the policies
+  mask infeasible arms."""
 
   def __init__(self, time_step_spec, action_spec, reward_network, optimizer,
                error_loss_fn: Callable = common.element_wise_squared_loss,
-               gradient_clipping: Optional[float] = None):
+               gradient_clipping: Optional[float] = None,
+               constraints=(),
+               observation_and_action_constraint_splitter=None):
     self.time_step_spec = time_step_spec
     self.action_spec = action_spec
     self.reward_network = reward_network
@@ -64,17 +132,38 @@ class GreedyRewardPredictionAgent(Agent):
     self.gradient_clipping = gradient_clipping
     self.num_actions = action_spec.num_values
     self.train_sequence_length = None
+    self.constraints = tuple(constraints)
+    self.splitter = observation_and_action_constraint_splitter
 
-    q_policy = QPolicy(time_step_spec, action_spec, reward_network)
-    self.policy = GreedyPolicy(q_policy)
-    self.collect_policy = self._make_collect_policy(q_policy)
-    self._q_policy = q_policy
+    if self.constraints:
+      self.policy = _ConstrainedGreedyPolicy(
+          time_step_spec, action_spec, reward_network, self.constraints,
+          self.splitter)
+      self.collect_policy = self._make_constrained_collect_policy()
+      self._q_policy = None
+    else:
+      q_policy = QPolicy(time_step_spec, action_spec, reward_network,
+                         self.splitter)
+      self.policy = GreedyPolicy(q_policy)
+      self.collect_policy = self._make_collect_policy(q_policy)
+      self._q_policy = q_policy
 
   def _make_collect_policy(self, q_policy):
     return GreedyPolicy(q_policy)
 
+  def _make_constrained_collect_policy(self):
+    return self.policy
+
   def init(self, key) -> RewardNetAgentState:
-    params = self.reward_network.init_params(key)
+    if self.constraints:
+      keys = jax.random.split(key, 1 + len(self.constraints))
+      params = {
+          "reward": self.reward_network.init_params(keys[0]),
+          "constraints": tuple(
+              c.init_params(k) for c, k in zip(self.constraints, keys[1:])),
+      }
+    else:
+      params = self.reward_network.init_params(key)
     return RewardNetAgentState(params=params,
                                opt_state=self.optimizer.init(params),
                                train_step=jnp.zeros((), jnp.int32))
@@ -83,13 +172,30 @@ class GreedyRewardPredictionAgent(Agent):
     return agent_state.params
 
   def _loss(self, params, experience, weights=None):
+    from agents_tpu.bandits.specs import bandit_spec_utils as bsu
     exp = _squeeze_bandit_batch(experience)
+    if not self.constraints:
+      preds, _ = self.reward_network.apply(
+          params, exp.observation, exp.step_type, ())
+      chosen = common.index_with_actions(preds, exp.action)
+      per_example = self.error_loss_fn(exp.reward, chosen)
+      return common.aggregate_losses(per_example_loss=per_example,
+                                     sample_weight=weights)
+    obs = exp.observation
+    if self.splitter is not None:
+      obs, _ = self.splitter(obs)
+    rewards = exp.reward[bsu.REWARD_SPEC_KEY]
     preds, _ = self.reward_network.apply(
-        params, exp.observation, exp.step_type, ())
+        params["reward"], obs, exp.step_type, ())
     chosen = common.index_with_actions(preds, exp.action)
-    per_example = self.error_loss_fn(exp.reward, chosen)
-    return common.aggregate_losses(per_example_loss=per_example,
+    per_example = self.error_loss_fn(rewards, chosen)
+    loss = common.aggregate_losses(per_example_loss=per_example,
                                    sample_weight=weights)
+    targets = exp.reward[bsu.CONSTRAINTS_SPEC_KEY]
+    for i, c in enumerate(self.constraints):
+      loss = loss + c.compute_loss(params["constraints"][i], obs,
+                                   exp.action, targets[:, i], weights)
+    return loss
 
   def train(self, agent_state, experience,
             weights=None) -> Tuple[RewardNetAgentState, LossInfo]:
@@ -114,6 +220,11 @@ class NeuralEpsilonGreedyAgent(GreedyRewardPredictionAgent):
 
   def _make_collect_policy(self, q_policy):
     return EpsilonGreedyPolicy(q_policy, self._epsilon)
+
+  def _make_constrained_collect_policy(self):
+    return _ConstrainedGreedyPolicy(
+        self.time_step_spec, self.action_spec, self.reward_network,
+        self.constraints, self.splitter, epsilon=self._epsilon)
 
 
 class NeuralBoltzmannAgent(GreedyRewardPredictionAgent):

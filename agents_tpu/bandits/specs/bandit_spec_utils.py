@@ -14,6 +14,11 @@ from agents_tpu.specs import array_spec
 GLOBAL_FEATURE_KEY = "global"
 PER_ARM_FEATURE_KEY = "per_arm"
 NUM_ACTIONS_FEATURE_KEY = "num_actions"
+# Multi-signal reward dicts (constrained agents): reward becomes
+# {REWARD_SPEC_KEY: [B], CONSTRAINTS_SPEC_KEY: [B, num_constraints]}
+# (reference tf_agents/bandits/specs/utils.py:24-25).
+REWARD_SPEC_KEY = "reward"
+CONSTRAINTS_SPEC_KEY = "constraint"
 
 
 def create_per_arm_observation_spec(global_dim: int, per_arm_dim: int,
