@@ -106,6 +106,13 @@ class PPOAgent(Agent):
     self.kl_cutoff_coef = kl_cutoff_coef
     self.gradient_clipping = gradient_clipping
     self.train_sequence_length = None  # full [B, T] rollouts
+    # Recurrent nets train on whole sequences: minibatches partition the
+    # batch axis only, time stays intact so the LSTM unrolls from zero
+    # state with FIRST-step reset masking (the reference PPOLearner
+    # likewise keeps episodes whole for RNN training and only shuffles
+    # across sequences, train/ppo_learner.py:270-310).
+    self._recurrent = bool(actor_network.state_spec) or bool(
+        value_network.state_spec)
 
     self.obs_normalizer = (
         StreamingTensorNormalizer(time_step_spec.observation)
@@ -264,24 +271,29 @@ class PPOAgent(Agent):
     returns, advantages = self.compute_return_and_advantage(
         agent_state, experience)
 
-    # 3) Frame window [:, :-1], flattened to one frame axis [B*(T-1), ...]
-    #    (the clip loss is per-frame; the reference learner also shuffles
-    #    at transition granularity). Mask drops boundary frames
+    # 3) Frame window [:, :-1]. Feed-forward nets flatten to one frame
+    #    axis [B*(T-1), ...] (the clip loss is per-frame; the reference
+    #    learner also shuffles at transition granularity). Recurrent nets
+    #    keep [B, T-1] sequences whole. Mask drops boundary frames
     #    (ppo_utils.make_timestep_mask).
     B = experience.discount.shape[0]
     Tm1 = experience.discount.shape[1] - 1
-    window = lambda x: jax.tree_util.tree_map(
-        lambda t: t[:, :-1].reshape((B * Tm1,) + t.shape[2:]), x)
+    if self._recurrent:
+      window = lambda x: jax.tree_util.tree_map(lambda t: t[:, :-1], x)
+    else:
+      window = lambda x: jax.tree_util.tree_map(
+          lambda t: t[:, :-1].reshape((B * Tm1,) + t.shape[2:]), x)
+      returns = returns.reshape(B * Tm1)
+      advantages = advantages.reshape(B * Tm1)
     obs = window(experience.observation)
     step_type = window(experience.step_type)
     actions = window(experience.action)
     old_dist = window(experience.policy_info["dist"])
     old_values = window(experience.policy_info["value_prediction"])
-    returns = returns.reshape(B * Tm1)
-    advantages = advantages.reshape(B * Tm1)
     mask = (step_type != ts.StepType.LAST).astype(jnp.float32)
     if weights is not None:
-      mask = mask * jnp.broadcast_to(weights[:, None], (B, Tm1)).reshape(-1)
+      w = jnp.broadcast_to(weights[:, None], (B, Tm1))
+      mask = mask * (w if self._recurrent else w.reshape(-1))
 
     old_log_prob = common.log_probability(old_dist, actions)
     old_log_prob = jax.lax.stop_gradient(old_log_prob)
@@ -292,7 +304,7 @@ class PPOAgent(Agent):
       adv_var = jnp.sum(jnp.square(advantages - adv_mean) * mask) / denom
       advantages = (advantages - adv_mean) / (jnp.sqrt(adv_var) + 1e-8)
 
-    n_frames = mask.shape[0]
+    n_items = mask.shape[0]  # sequences when recurrent, frames otherwise
     n_mb = self.num_minibatches
     params = (agent_state.actor_params, agent_state.value_params)
     opt_state = agent_state.opt_state
@@ -302,7 +314,7 @@ class PPOAgent(Agent):
 
     def epoch_body(carry, epoch_key):
       params, opt_state = carry
-      perm = jax.random.permutation(epoch_key, n_frames)
+      perm = jax.random.permutation(epoch_key, n_items)
       shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat_batch)
 
       def mb_body(carry, mb):
@@ -317,7 +329,7 @@ class PPOAgent(Agent):
 
       if n_mb > 1:
         mbs = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_mb, n_frames // n_mb) + x.shape[1:]),
+            lambda x: x.reshape((n_mb, n_items // n_mb) + x.shape[1:]),
             shuffled)
         (params, opt_state), outs = jax.lax.scan(
             mb_body, (params, opt_state), mbs)

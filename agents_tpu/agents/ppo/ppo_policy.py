@@ -32,9 +32,6 @@ class PPOPolicy(Policy):
     self.value_network = value_network
     self.observation_normalizer = observation_normalizer
 
-  def init_state(self, batch_size=None):
-    return ((), ())  # feed-forward default; RNN variants carry real state
-
   def _nets(self, params, time_step, state):
     obs = time_step.observation
     if self.observation_normalizer is not None:
