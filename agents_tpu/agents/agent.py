@@ -56,8 +56,15 @@ class Agent(abc.ABC):
 
   # -- policy parameter accessors ------------------------------------------
   def policy_params(self, agent_state):
-    """Parameters consumed by `self.policy` / `self.collect_policy`."""
+    """Parameters consumed by `self.policy` (greedy/eval)."""
     return agent_state.params
+
+  def collect_policy_params(self, agent_state):
+    """Parameters consumed by `self.collect_policy`. Defaults to
+    `policy_params`; agents whose collect policies depend on extra state
+    (e.g. train_step-driven exploration schedules: FALCON, decayed
+    epsilon-greedy) override this."""
+    return self.policy_params(agent_state)
 
   def preprocess_sequence(self, agent_state, experience):
     """Optional experience preprocessing hook (tf_agent.py:286)."""

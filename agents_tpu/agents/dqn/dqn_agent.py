@@ -31,6 +31,14 @@ from agents_tpu.utils import common
 from agents_tpu.utils.common import LossInfo
 
 
+class _ScheduledQPolicy(QPolicy):
+  """QPolicy whose params are {"q": net_params, "train_step": step} so an
+  epsilon-decay schedule can read the step at act time."""
+
+  def q_values(self, params, time_step, state=()):
+    return super().q_values(params["q"], time_step, state)
+
+
 @struct.dataclass
 class DqnAgentState:
   q_params: Any
@@ -80,9 +88,20 @@ class DqnAgent(Agent):
     q_policy = QPolicy(time_step_spec, action_spec, q_network,
                        observation_and_action_constraint_splitter=self.splitter)
     self.policy = GreedyPolicy(q_policy)
+    # Decay schedules: a callable epsilon sees the train step (reference
+    # uses tf polynomial_decay(train_step), examples/dqn/mnih15 :165-171);
+    # the collect params then carry {"q", "train_step"}.
+    self._scheduled_epsilon = (boltzmann_temperature is None
+                               and callable(epsilon_greedy))
     if boltzmann_temperature is not None:
       from agents_tpu.policies.wrappers import BoltzmannPolicy
       self.collect_policy = BoltzmannPolicy(q_policy, boltzmann_temperature)
+    elif self._scheduled_epsilon:
+      sched_q_policy = _ScheduledQPolicy(
+          time_step_spec, action_spec, q_network,
+          observation_and_action_constraint_splitter=self.splitter)
+      self.collect_policy = EpsilonGreedyPolicy(
+          sched_q_policy, lambda p: epsilon_greedy(p["train_step"]))
     else:
       self.collect_policy = EpsilonGreedyPolicy(q_policy, epsilon_greedy)
     self._q_policy = q_policy
@@ -98,6 +117,12 @@ class DqnAgent(Agent):
     )
 
   def policy_params(self, agent_state):
+    return agent_state.q_params
+
+  def collect_policy_params(self, agent_state):
+    if self._scheduled_epsilon:
+      return {"q": agent_state.q_params,
+              "train_step": agent_state.train_step}
     return agent_state.q_params
 
   # -- Q computation hooks (overridden by DDQN) -----------------------------

@@ -29,6 +29,10 @@ class EncoderModule(nn.Module):
   dropout_rate: Optional[float] = None
   kernel_init: Callable = variance_scaling(2.0)
   dtype: Any = jnp.float32
+  # Per-leaf preprocessing applied before the conv stack (the reference's
+  # preprocessing_layers, encoding_network.py:83 — e.g. uint8 frames
+  # scaled by 1/255).
+  preprocessing: Optional[Callable] = None
 
   @nn.compact
   def __call__(self, observation, step_type=None, network_state=(),
@@ -36,6 +40,8 @@ class EncoderModule(nn.Module):
     leaves = jax.tree_util.tree_leaves(observation)
     processed = []
     for x in leaves:
+      if self.preprocessing is not None:
+        x = self.preprocessing(x)
       x = x.astype(self.dtype)
       if self.conv_layer_params and x.ndim >= 3:
         for filters, kernel, stride in self.conv_layer_params:

@@ -34,13 +34,15 @@ class QModule(nn.Module):
   fc_layer_params: Sequence[int] = (64, 64)
   activation: Callable = nn.relu
   dtype: Any = jnp.float32
+  preprocessing: Optional[Callable] = None
 
   @nn.compact
   def __call__(self, observation, step_type=None, network_state=()):
     x, network_state = EncoderModule(
         conv_layer_params=self.conv_layer_params,
         fc_layer_params=self.fc_layer_params,
-        activation=self.activation, dtype=self.dtype)(
+        activation=self.activation, dtype=self.dtype,
+        preprocessing=self.preprocessing)(
             observation, step_type, network_state)
     # Reference QNetwork final layer: RandomUniform(-0.03, 0.03) kernel,
     # constant -0.2 bias (q_network.py:157-163).
@@ -57,13 +59,15 @@ class DuelingQModule(nn.Module):
   fc_layer_params: Sequence[int] = (64, 64)
   activation: Callable = nn.relu
   dtype: Any = jnp.float32
+  preprocessing: Optional[Callable] = None
 
   @nn.compact
   def __call__(self, observation, step_type=None, network_state=()):
     x, network_state = EncoderModule(
         conv_layer_params=self.conv_layer_params,
         fc_layer_params=self.fc_layer_params,
-        activation=self.activation, dtype=self.dtype)(
+        activation=self.activation, dtype=self.dtype,
+        preprocessing=self.preprocessing)(
             observation, step_type, network_state)
     v = nn.Dense(1, kernel_init=_uniform_symmetric(0.03),
                  bias_init=nn.initializers.constant(-0.2),
@@ -83,13 +87,15 @@ class CategoricalQModule(nn.Module):
   fc_layer_params: Sequence[int] = (64, 64)
   activation: Callable = nn.relu
   dtype: Any = jnp.float32
+  preprocessing: Optional[Callable] = None
 
   @nn.compact
   def __call__(self, observation, step_type=None, network_state=()):
     x, network_state = EncoderModule(
         conv_layer_params=self.conv_layer_params,
         fc_layer_params=self.fc_layer_params,
-        activation=self.activation, dtype=self.dtype)(
+        activation=self.activation, dtype=self.dtype,
+        preprocessing=self.preprocessing)(
             observation, step_type, network_state)
     logits = nn.Dense(self.num_actions * self.num_atoms,
                       kernel_init=_uniform_symmetric(0.03),
@@ -101,12 +107,14 @@ class CategoricalQModule(nn.Module):
 
 def make_q_network(input_spec, action_spec, conv_layer_params=(),
                    fc_layer_params=(64, 64), activation=nn.relu,
-                   dueling: bool = False, dtype=jnp.float32) -> Network:
+                   dueling: bool = False, dtype=jnp.float32,
+                   preprocessing=None) -> Network:
   cls = DuelingQModule if dueling else QModule
   module = cls(num_actions=_num_actions(action_spec),
                conv_layer_params=tuple(conv_layer_params),
                fc_layer_params=tuple(fc_layer_params),
-               activation=activation, dtype=dtype)
+               activation=activation, dtype=dtype,
+               preprocessing=preprocessing)
   return Network(module, input_spec)
 
 

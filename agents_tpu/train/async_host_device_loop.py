@@ -133,7 +133,7 @@ class AsyncHostDeviceTrainLoop:
     try:
       for tick in range(total_env_batch_steps):
         key, sub = jax.random.split(key)
-        params = self.agent.policy_params(self._agent_state)
+        params = self.agent.collect_policy_params(self._agent_state)
         self._replay_state, action = self._collect_prog(
             self._replay_state, params, time_step, prev_ts, prev_action,
             sub)

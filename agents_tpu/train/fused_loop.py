@@ -85,7 +85,7 @@ class FusedTrainLoop:
                       num_steps: int) -> LoopState:
     """Seed replay with the collect policy (the reference uses a random
     policy; epsilon-greedy at init is equivalently random for fresh nets)."""
-    params = self.agent.policy_params(state.agent_state)
+    params = self.agent.collect_policy_params(state.agent_state)
     obs_states = (state.replay_state,) + state.metric_states
     driver_state, obs_states = self.driver.run(
         params, state.driver_state, obs_states, key, num_steps)
@@ -96,7 +96,7 @@ class FusedTrainLoop:
   # -- one iteration ---------------------------------------------------------
   def iteration(self, state: LoopState, _=None) -> Tuple[LoopState, LossInfo]:
     key, k_collect, k_sample = jax.random.split(state.key, 3)
-    params = self.agent.policy_params(state.agent_state)
+    params = self.agent.collect_policy_params(state.agent_state)
     obs_states = (state.replay_state,) + state.metric_states
     driver_state, obs_states = self.driver.run(
         params, state.driver_state, obs_states, k_collect,

@@ -66,7 +66,7 @@ class HostDeviceTrainLoop:
     frame = tj.from_transition(
         prev_time_step, ps.PolicyStep(action=prev_action), host_time_step)
     replay_state = self.replay.add_batch(dev.replay_state, frame)
-    params = self.agent.policy_params(dev.agent_state)
+    params = self.agent.collect_policy_params(dev.agent_state)
     action_step = self.agent.collect_policy.action(
         params, host_time_step, (), k_act)
     return dev.replace(replay_state=replay_state, key=key), action_step

@@ -41,7 +41,7 @@ class HostOnPolicyTrainLoop:
 
   def run_iteration(self, agent_state, time_step, key):
     """Collect rollout_length host steps, then one fused PPO update."""
-    params = self.agent.policy_params(agent_state)
+    params = self.agent.collect_policy_params(agent_state)
     frames = []
     for t in range(self.rollout_length):
       key, sub = jax.random.split(key)

@@ -54,7 +54,7 @@ class OnPolicyTrainLoop:
   def iteration(self, state: OnPolicyLoopState,
                 _=None) -> Tuple[OnPolicyLoopState, LossInfo]:
     key, k_collect, k_train = jax.random.split(state.key, 3)
-    params = self.agent.policy_params(state.agent_state)
+    params = self.agent.collect_policy_params(state.agent_state)
     driver_state, metric_states, frames = self.driver.run(
         params, state.driver_state, state.metric_states, k_collect,
         self.rollout_length)

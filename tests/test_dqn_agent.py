@@ -126,3 +126,29 @@ def test_policies_act_within_spec():
   collect = agent.collect_policy.action(agent.policy_params(state), step,
                                         (), jax.random.key(0))
   assert int(collect.action[0]) in (0, 1)
+
+
+def test_scheduled_epsilon_decay():
+  """Callable epsilon sees the train step (mnih15 polynomial decay)."""
+  tss, act = _specs()
+  eps_fn = lambda step: 1.0 + jnp.minimum(
+      step.astype(jnp.float32) / 100.0, 1.0) * (0.1 - 1.0)
+  agent = DqnAgent(tss, act, Network(DummyNet(), tss.observation),
+                   optax.adam(1e-3), epsilon_greedy=eps_fn)
+  state = agent.init(jax.random.key(0))
+  params = agent.collect_policy_params(state)
+  assert set(params.keys()) == {"q", "train_step"}
+  np.testing.assert_allclose(
+      float(agent.collect_policy._epsilon(params)), 1.0)
+  late = agent.collect_policy_params(
+      state.replace(train_step=jnp.asarray(1000, jnp.int32)))
+  np.testing.assert_allclose(
+      float(agent.collect_policy._epsilon(late)), 0.1, rtol=1e-6)
+  # Acting works under jit with the dict params.
+  step = ts.restart(jnp.array([[1.0, 2.0]]), batch_size=1)
+  out = jax.jit(agent.collect_policy.action)(params, step, (),
+                                             jax.random.key(1))
+  assert int(out.action[0]) in (0, 1)
+  # Greedy eval policy still takes bare q_params.
+  g = agent.policy.action(agent.policy_params(state), step)
+  assert int(g.action[0]) == 0
