@@ -13,10 +13,32 @@ from agents_tpu.bandits.environments.movielens import (
     load_movielens_data,
     synthetic_ratings_matrix,
 )
+from agents_tpu.bandits.environments.nonstationary_envs import (
+    NonStationaryStochasticBandit,
+    PiecewiseBernoulliBandit,
+    PiecewiseStationaryStochasticBandit,
+    piece_schedule,
+)
+from agents_tpu.bandits.environments.structured_envs import (
+    BernoulliActionMaskBandit,
+    ClickModel,
+    FeedbackModel,
+    RankingBanditEnv,
+    StationaryStochasticPerArmBandit,
+    cascading_to_score_vector,
+)
+from agents_tpu.bandits.environments import dataset_utilities
+from agents_tpu.bandits.environments import environment_utilities
 
 __all__ = [
-    "BanditJaxEnvironment", "BernoulliBandit", "ClassificationBandit",
-    "DriftingLinearBandit", "MovieLensBandit", "MovieLensPerArmBandit",
-    "RandomBandit", "StationaryStochasticBandit", "WheelBandit",
-    "load_movielens_data", "synthetic_ratings_matrix",
+    "BanditJaxEnvironment", "BernoulliActionMaskBandit", "BernoulliBandit",
+    "ClassificationBandit", "ClickModel", "DriftingLinearBandit",
+    "FeedbackModel", "MovieLensBandit", "MovieLensPerArmBandit",
+    "NonStationaryStochasticBandit", "PiecewiseBernoulliBandit",
+    "PiecewiseStationaryStochasticBandit", "RandomBandit",
+    "RankingBanditEnv", "StationaryStochasticBandit",
+    "StationaryStochasticPerArmBandit", "WheelBandit",
+    "cascading_to_score_vector", "dataset_utilities",
+    "environment_utilities", "load_movielens_data", "piece_schedule",
+    "synthetic_ratings_matrix",
 ]

@@ -61,7 +61,7 @@ class BanditJaxEnvironment(JaxEnvironment):
     context = self._sample_context(k_ctx, jnp.zeros((), jnp.int32))
     state = BanditState(context=context, key=k_next,
                         round=jnp.zeros((), jnp.int32))
-    return state, ts.restart(context)
+    return state, ts.restart(context, reward_spec=self.reward_spec())
 
   def step(self, state: BanditState, action, key):
     k_rew, k_ctx = jax.random.split(key)
@@ -70,10 +70,13 @@ class BanditJaxEnvironment(JaxEnvironment):
     new_state = BanditState(context=new_context, key=key,
                             round=state.round + 1)
     # LAST with the SAME observation (context of the round just played) —
-    # the next FIRST (auto-reset) carries the new context.
+    # the next FIRST (auto-reset) carries the new context. Reward may be a
+    # structure (e.g. ranking CASCADING feedback or constraint dicts).
+    reward = jax.tree_util.tree_map(
+        lambda r: jnp.asarray(r, jnp.float32), reward)
     return new_state, ts.TimeStep(
         step_type=jnp.asarray(ts.StepType.LAST, jnp.int32),
-        reward=reward.astype(jnp.float32),
+        reward=reward,
         discount=jnp.zeros((), jnp.float32),
         observation=state.context)
 
@@ -235,10 +238,17 @@ class ClassificationBandit(BanditJaxEnvironment):
   classification_environment.py:62): context = features, reward = reward
   table[label, action]."""
 
-  def __init__(self, features, labels, reward_table):
+  def __init__(self, features, labels, reward_table, reward_sampler=None):
+    """reward_table: [num_classes, num_actions] expected rewards (drives
+    the deterministic reward and the regret baseline). reward_sampler:
+    optional `(label, action, key) -> reward` for stochastic rewards
+    (e.g. `dataset_utilities.mushroom_reward_sampler`); when given, it
+    replaces the table lookup for the realized reward and the table is
+    its expectation."""
     self.features = jnp.asarray(features, jnp.float32)  # [N, d]
     self.labels = jnp.asarray(labels, jnp.int32)        # [N]
     self.reward_table = jnp.asarray(reward_table, jnp.float32)  # [C, K]
+    self.reward_sampler = reward_sampler
     self.n = self.features.shape[0]
 
   def observation_spec(self):
@@ -270,9 +280,10 @@ class ClassificationBandit(BanditJaxEnvironment):
         observation=time_step.observation[:-1])
 
   def _reward(self, context, action, key, round_):
-    del key
     idx = context[-1].astype(jnp.int32)
     label = self.labels[idx]
+    if self.reward_sampler is not None:
+      return self.reward_sampler(label, action, key)
     return self.reward_table[label, action]
 
   def optimal_reward_fn(self, observation):

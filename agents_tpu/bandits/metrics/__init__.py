@@ -1,9 +1,11 @@
 from agents_tpu.bandits.metrics.bandit_metrics import (
     ConstraintViolationsMetric,
+    DistanceFromGreedyMetric,
     RegretMetric,
     SuboptimalArmsMetric,
 )
 
 __all__ = [
-    "ConstraintViolationsMetric", "RegretMetric", "SuboptimalArmsMetric",
+    "ConstraintViolationsMetric", "DistanceFromGreedyMetric",
+    "RegretMetric", "SuboptimalArmsMetric",
 ]

@@ -81,3 +81,32 @@ class ConstraintViolationsMetric(Metric):
   def result(self, state):
     total, count = state
     return total / jnp.maximum(count, 1.0)
+
+
+class DistanceFromGreedyMetric(Metric):
+  """How 'safely' the policy explores: mean gap between the highest
+  *estimated* reward and the estimated reward of the action actually taken
+  (reference tf_metrics.py:182 — belief-relative, unlike regret)."""
+  name = "DistanceFromGreedyMetric"
+
+  def __init__(self, estimated_reward_fn: Callable):
+    """estimated_reward_fn(observation) -> [..., num_actions] estimates
+    (e.g. the agent's reward network with current params)."""
+    self.estimated_reward_fn = estimated_reward_fn
+
+  def init(self, batch_size: int):
+    return (jnp.zeros(()), jnp.zeros(()))
+
+  def update(self, state, traj):
+    total, count = state
+    est = self.estimated_reward_fn(traj.observation)
+    best = jnp.max(est, axis=-1)
+    taken = jnp.take_along_axis(
+        est, traj.action[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    valid = traj.is_last().astype(jnp.float32)
+    return (total + jnp.sum((best - taken) * valid),
+            count + jnp.sum(valid))
+
+  def result(self, state):
+    total, count = state
+    return total / jnp.maximum(count, 1.0)
