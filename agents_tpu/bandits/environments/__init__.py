@@ -22,6 +22,7 @@ from agents_tpu.bandits.environments.nonstationary_envs import (
 from agents_tpu.bandits.environments.structured_envs import (
     BernoulliActionMaskBandit,
     ClickModel,
+    ExplicitPositionalBiasRankingEnv,
     FeedbackModel,
     RankingBanditEnv,
     StationaryStochasticPerArmBandit,
@@ -33,6 +34,7 @@ from agents_tpu.bandits.environments import environment_utilities
 __all__ = [
     "BanditJaxEnvironment", "BernoulliActionMaskBandit", "BernoulliBandit",
     "ClassificationBandit", "ClickModel", "DriftingLinearBandit",
+    "ExplicitPositionalBiasRankingEnv",
     "FeedbackModel", "MovieLensBandit", "MovieLensPerArmBandit",
     "NonStationaryStochasticBandit", "PiecewiseBernoulliBandit",
     "PiecewiseStationaryStochasticBandit", "RandomBandit",

@@ -298,3 +298,65 @@ def cascading_to_score_vector(chosen_index, chosen_value, num_slots: int):
   idx = chosen_index.astype(jnp.int32)
   vec = jax.nn.one_hot(idx, num_slots + 1) * chosen_value[..., None]
   return vec[..., :-1]
+
+
+class ExplicitPositionalBiasRankingEnv(BanditJaxEnvironment):
+  """Ranking env with an explicit per-slot observation probability.
+
+  Mirrors ranking_environment.py:316
+  (ExplicitPositionalBiasRankingEnvironment): a slotted item is clicked
+  iff it is observed (Bernoulli(observation_probs[slot]), independent of
+  content) AND relevant (Bernoulli(relevance_fn(global, item)), clipped
+  to [0, 1]) — so several slots can be clicked in one round. Feedback is
+  always a [num_slots] score vector.
+  """
+
+  def __init__(self, global_sampling_fn: Callable,
+               item_sampling_fn: Callable, relevance_fn: Callable,
+               num_items: int, observation_probs,
+               global_dim: int, item_dim: int):
+    self.global_sampling_fn = global_sampling_fn
+    self.item_sampling_fn = item_sampling_fn
+    self.relevance_fn = relevance_fn
+    self.num_items = num_items
+    probs = np.asarray(observation_probs, np.float32)
+    if np.any(probs < 0.0) or np.any(probs > 1.0):
+      raise ValueError("Observation probabilities need to be in [0, 1].")
+    self.observation_probs = jnp.asarray(probs)
+    self.num_slots = len(probs)
+    self.global_dim = global_dim
+    self.item_dim = item_dim
+
+  def observation_spec(self):
+    return {
+        GLOBAL_FEATURE_KEY:
+            array_spec.ArraySpec((self.global_dim,), np.float32, "global"),
+        PER_ARM_FEATURE_KEY:
+            array_spec.ArraySpec((self.num_items, self.item_dim), np.float32,
+                                 "per_arm"),
+    }
+
+  def action_spec(self):
+    return array_spec.BoundedArraySpec((self.num_slots,), np.int32, 0,
+                                       self.num_items - 1, "action")
+
+  def reward_spec(self):
+    return array_spec.ArraySpec((self.num_slots,), np.float32,
+                                "score_vector")
+
+  def _sample_context(self, key, round_):
+    k_g, k_i = jax.random.split(key)
+    item_keys = jax.random.split(k_i, self.num_items)
+    return {
+        GLOBAL_FEATURE_KEY: self.global_sampling_fn(k_g),
+        PER_ARM_FEATURE_KEY: jax.vmap(self.item_sampling_fn)(item_keys),
+    }
+
+  def _reward(self, context, action, key, round_):
+    global_obs = context[GLOBAL_FEATURE_KEY]
+    slotted = context[PER_ARM_FEATURE_KEY][action]   # [num_slots, item_dim]
+    relevances = jnp.clip(
+        jax.vmap(lambda item: self.relevance_fn(global_obs, item))(slotted),
+        0.0, 1.0)
+    click_probs = relevances * self.observation_probs
+    return jax.random.bernoulli(key, click_probs).astype(jnp.float32)

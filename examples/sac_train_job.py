@@ -1,0 +1,194 @@
+"""Distributed SAC: learner job (owns the ingest rings + the chip).
+
+Analogue of
+``tf_agents/experimental/distributed/examples/sac/sac_train.py`` plus
+``sac_reverb_server.py``: this process owns the experience store (the
+shm rings created here play Reverb's server role — MinSize rate limiting
+becomes "wait until min_replay_items drained") and the device. Collect
+jobs (`sac_collect_job.py`) attach to the rings by name; weight broadcast
+is a periodic collect-policy export that actors poll
+(ReverbVariableContainer.push -> PolicySaver.save_checkpoint).
+
+Each drained record is an independent [2, ...] trajectory pair, so the
+device replay samples with num_steps=1 and hands [B, 2] sequences
+straight to `SacAgent.train` — no sequence reconstruction.
+
+Usage (start this first, then N collect jobs, then optionally eval_job):
+  python examples/sac_train_job.py --root_dir=/tmp/agents_tpu/dist_sac \
+      --rings=sac_ring_0,sac_ring_1 --env_name=Pendulum-v1
+
+Smoke (spawns 2 collect subprocesses + trains a few hundred steps):
+  python examples/sac_train_job.py --smoke
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--root_dir", default="/tmp/agents_tpu/dist_sac")
+  parser.add_argument("--rings", default="sac_ring_0")
+  parser.add_argument("--env_name", default="Pendulum-v1")
+  parser.add_argument("--ring_capacity", type=int, default=1 << 15)
+  parser.add_argument("--replay_rows", type=int, default=256,
+                      help="replay row width = frames added per insert")
+  parser.add_argument("--replay_max_length", type=int, default=512)
+  parser.add_argument("--sample_batch_size", type=int, default=256)
+  parser.add_argument("--train_steps_per_call", type=int, default=8)
+  parser.add_argument("--min_replay_items", type=int, default=512)
+  parser.add_argument("--total_train_steps", type=int, default=10000)
+  parser.add_argument("--export_interval_steps", type=int, default=200)
+  parser.add_argument("--log_interval_steps", type=int, default=400)
+  parser.add_argument("--seed", type=int, default=0)
+  parser.add_argument("--smoke", action="store_true")
+  args = parser.parse_args()
+
+  if args.smoke:
+    args.total_train_steps = 200
+    args.min_replay_items = 64
+    args.export_interval_steps = 50
+    args.log_interval_steps = 50
+    args.rings = "sac_smoke_0,sac_smoke_1"
+
+  import jax
+  import numpy as np
+
+  from agents_tpu.policies.policy_saver import PolicySaver
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.replay_buffers.host_ingest import IngestServer
+  from agents_tpu.specs import array_spec
+  from agents_tpu.trajectories import trajectory as tj
+  from examples.sac_collect_job import build_agent
+
+  agent, tss, asp = build_agent(args.env_name, args.seed)
+  traj_spec = tj.trajectory_spec(tss, asp)
+  pair_spec = array_spec.add_outer_dims_nest(traj_spec, (2,))
+
+  ring_names = args.rings.split(",")
+  servers = [IngestServer(n, pair_spec, capacity=args.ring_capacity)
+             for n in ring_names]
+
+  collectors = []
+  if args.smoke:
+    # Actors force JAX_PLATFORMS=cpu internally, so they never contend
+    # for this process's device.
+    for n in ring_names:
+      collectors.append(subprocess.Popen([
+          sys.executable,
+          os.path.join(os.path.dirname(__file__), "sac_collect_job.py"),
+          f"--root_dir={args.root_dir}", f"--ring={n}",
+          f"--env_name={args.env_name}", "--env_batch_size=4",
+          "--total_ticks=0", "--random_ticks=8",
+      ]))
+
+  replay = UniformReplay(pair_spec, batch_size=args.replay_rows,
+                         max_length=args.replay_max_length)
+  replay_state = replay.init()
+  agent_state = agent.init(jax.random.key(args.seed))
+  add_batch = jax.jit(replay.add_batch)
+
+  def train_chunk(ag, rs, key):
+    def one(a, k):
+      exp, _ = replay.sample(rs, k, args.sample_batch_size)
+      a, loss = agent.train(a, exp)
+      return a, loss.loss
+    ks = jax.random.split(key, args.train_steps_per_call)
+    ag, losses = jax.lax.scan(one, ag, ks)
+    return ag, losses[-1]
+
+  train_chunk = jax.jit(train_chunk)
+
+  saver = PolicySaver(agent.collect_policy)
+  export_dir = os.path.join(args.root_dir, "policies", "collect_policy")
+  greedy_dir = os.path.join(args.root_dir, "policies", "greedy_policy")
+  greedy_saver = PolicySaver(agent.policy)
+
+  # Host-side staging FIFO: drained frames accumulate here and flush to
+  # the device replay in fixed [replay_rows, 2, ...] blocks (static
+  # shapes keep one compiled insert program).
+  staged = []
+  staged_count = 0
+
+  def drain_all():
+    nonlocal staged, staged_count
+    got = 0
+    for s in servers:
+      out = s.drain(max_frames=4096)
+      if out is not None:
+        n = jax.tree_util.tree_leaves(out)[0].shape[0]
+        staged.append(out)
+        staged_count += n
+        got += n
+    return got
+
+  def flush_staged(rs):
+    nonlocal staged, staged_count
+    while staged_count >= args.replay_rows:
+      flat = jax.tree_util.tree_map(
+          lambda *xs: np.concatenate(xs, axis=0), *staged)
+      block = jax.tree_util.tree_map(
+          lambda x: x[:args.replay_rows], flat)
+      rest = jax.tree_util.tree_map(
+          lambda x: x[args.replay_rows:], flat)
+      rs = add_batch(rs, block)
+      staged = [rest]
+      staged_count -= args.replay_rows
+    return rs
+
+  total_items, train_steps = 0, 0
+  key = jax.random.key(args.seed + 1)
+  print(json.dumps({"job": "train", "waiting_for_items":
+                    args.min_replay_items}), flush=True)
+  # Rate limiter (MinSize analogue): wait for the actors' first items.
+  while total_items < args.min_replay_items:
+    total_items += drain_all()
+    replay_state = flush_staged(replay_state)
+    time.sleep(0.05)
+
+  t0 = time.time()
+  last_export = 0
+  while train_steps < args.total_train_steps:
+    total_items += drain_all()
+    replay_state = flush_staged(replay_state)
+    key, sub = jax.random.split(key)
+    agent_state, loss = train_chunk(agent_state, replay_state, sub)
+    train_steps += args.train_steps_per_call
+    if train_steps - last_export >= args.export_interval_steps:
+      # Full save (params + manifest): the manifest's train_step is what
+      # actors poll to detect fresh weights (the variable-container
+      # "push" signal).
+      saver.train_step = train_steps
+      saver.save(export_dir, agent.collect_policy_params(agent_state))
+      greedy_saver.train_step = train_steps
+      greedy_saver.save(greedy_dir, agent.policy_params(agent_state))
+      last_export = train_steps
+    if train_steps % args.log_interval_steps < args.train_steps_per_call:
+      print(json.dumps({
+          "job": "train", "train_steps": train_steps,
+          "items_ingested": int(total_items),
+          "dropped": sum(s.dropped() for s in servers),
+          "loss": float(np.asarray(loss)),
+          "train_steps_per_s": round(train_steps / (time.time() - t0), 1),
+      }), flush=True)
+
+  loss_f = float(np.asarray(loss))
+  for p in collectors:
+    p.terminate()
+    p.wait(timeout=10)
+  for s in servers:
+    s.close()
+  print(json.dumps({"job": "train", "done": True,
+                    "train_steps": train_steps,
+                    "items_ingested": int(total_items),
+                    "final_loss": loss_f}), flush=True)
+  assert np.isfinite(loss_f)
+
+
+if __name__ == "__main__":
+  main()

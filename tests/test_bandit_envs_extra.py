@@ -275,3 +275,40 @@ def test_distance_from_greedy_metric():
   state = metric.update(state, traj)
   # gaps: (3-1)=2 for row 0 (took 0, best 1), (2-2)=0 for row 1
   np.testing.assert_allclose(float(metric.result(state)), 1.0)
+
+
+def test_explicit_positional_bias_ranking_env():
+  from agents_tpu.bandits.environments import (
+      ExplicitPositionalBiasRankingEnv)
+  env = ExplicitPositionalBiasRankingEnv(
+      global_sampling_fn=lambda k: jnp.ones((2,)),
+      item_sampling_fn=lambda k: jnp.ones((2,)),
+      relevance_fn=lambda g, item: jnp.sum(g * item) / 4.0,  # = 0.5
+      num_items=5, observation_probs=[1.0, 0.0],
+      global_dim=2, item_dim=2)
+  assert env.action_spec().shape == (2,)
+  ctx = env._sample_context(jax.random.key(0), jnp.asarray(0))
+  # Slot 1 has observation prob 0 -> never clicked; slot 0 is clicked
+  # about half the time (relevance 0.5).
+  clicks = np.stack([
+      np.asarray(env._reward(ctx, jnp.asarray([0, 1]), jax.random.key(i),
+                             jnp.asarray(0))) for i in range(40)])
+  assert clicks.shape == (40, 2)
+  assert clicks[:, 1].sum() == 0.0
+  assert 5 < clicks[:, 0].sum() < 35
+  # rollout under jit with vector reward
+  steps = _roll(env, 4, batch_size=3)
+  last = [s for s in steps if int(s.step_type[0]) == 2][0]
+  assert last.reward.shape == (3, 2)
+
+
+def test_positional_bias_probs_validated():
+  from agents_tpu.bandits.environments import (
+      ExplicitPositionalBiasRankingEnv)
+  import pytest
+  with pytest.raises(ValueError):
+    ExplicitPositionalBiasRankingEnv(
+        global_sampling_fn=lambda k: jnp.ones((2,)),
+        item_sampling_fn=lambda k: jnp.ones((2,)),
+        relevance_fn=lambda g, i: 0.5, num_items=3,
+        observation_probs=[1.5], global_dim=2, item_dim=2)
