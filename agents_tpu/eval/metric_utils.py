@@ -54,3 +54,54 @@ def evaluate_jax_env(env, policy, params, key, num_steps: int,
       m.name: np.asarray(jax.device_get(m.result(s)))
       for m, s in zip(metrics, obs_states)
   }
+
+
+class MetricsGroup:
+  """Checkpointable bundle of host (py) metric state (reference
+  eval/metric_utils.py:33 MetricsGroup + utils/numpy_storage.NumpyState).
+
+  Device metrics checkpoint with the training-loop pytree for free; host
+  metrics keep state in Python attributes, so this collects them into one
+  plain-dict snapshot that orbax/json can persist and restore.
+  """
+
+  def __init__(self, metrics, name: str = "metrics_group"):
+    self.metrics = list(metrics)
+    self.name = name
+
+  def results(self):
+    return {m.name: m.result() for m in self.metrics}
+
+  def reset(self):
+    for m in self.metrics:
+      m.reset()
+
+  def state_dict(self):
+    import numpy as np
+    out = {}
+    for i, m in enumerate(self.metrics):
+      st = {}
+      for k, v in vars(m).items():
+        if isinstance(v, np.ndarray):
+          st[k] = v.copy()
+        elif hasattr(v, "_deque"):  # NumpyDeque
+          st[k] = list(v._deque)
+        elif isinstance(v, (int, float, str, type(None))):
+          st[k] = v
+      out[f"{i}:{m.name}"] = st
+    return out
+
+  def load_state_dict(self, state):
+    import numpy as np
+    for i, m in enumerate(self.metrics):
+      st = state[f"{i}:{m.name}"]
+      for k, v in st.items():
+        cur = getattr(m, k, None)
+        if hasattr(cur, "_deque"):
+          cur.clear()
+          cur.extend(v)
+        elif isinstance(cur, np.ndarray) or isinstance(v, list) and (
+            isinstance(cur, np.ndarray)):
+          setattr(m, k, np.asarray(v))
+        else:
+          setattr(m, k, v)

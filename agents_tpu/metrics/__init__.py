@@ -1,6 +1,7 @@
 from agents_tpu.metrics.jax_metrics import (
     AverageEpisodeLengthMetric,
     AverageReturnMetric,
+    AverageReturnMultiMetric,
     ChosenActionHistogram,
     DequeState,
     EnvironmentSteps,
@@ -13,6 +14,7 @@ from agents_tpu.metrics.jax_metrics import (
 
 __all__ = [
     "AverageEpisodeLengthMetric", "AverageReturnMetric",
+    "AverageReturnMultiMetric",
     "ChosenActionHistogram", "DequeState", "EnvironmentSteps",
     "MaxReturnMetric", "Metric", "MinReturnMetric", "NumberOfEpisodes",
     "standard_collect_metrics",

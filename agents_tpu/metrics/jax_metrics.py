@@ -205,6 +205,38 @@ class AverageEpisodeLengthMetric(Metric):
     return state.deque.mean()
 
 
+class AverageReturnMultiMetric(Metric):
+  """Per-component mean return for vector rewards (tf_metrics.py:394) —
+  multi-objective bandits and the ranking env's score-vector feedback.
+  One deque per reward component, updated in lockstep."""
+  name = "AverageReturnMulti"
+
+  def __init__(self, reward_len: int, buffer_size: int = 10):
+    self.reward_len = reward_len
+    self.buffer_size = buffer_size
+
+  def init(self, batch_size: int):
+    return _ReturnAccumulatorState(
+        accumulator=jnp.zeros((batch_size, self.reward_len), jnp.float32),
+        deque=jax.vmap(lambda _: DequeState.create(self.buffer_size))(
+            jnp.arange(self.reward_len)))
+
+  def update(self, state, traj):
+    not_boundary = 1.0 - traj.is_boundary().astype(jnp.float32)
+    acc = state.accumulator + traj.reward * not_boundary[..., None]
+    done = traj.is_last()
+    # vmap over the reward component axis: each component's deque gets
+    # the same done mask and its own column of returns.
+    deque = jax.vmap(
+        lambda dq, vals: dq.push_batch(done, vals),
+        in_axes=(0, 1))(state.deque, acc)
+    acc = jnp.where(done[..., None], 0.0, acc)
+    return _ReturnAccumulatorState(accumulator=acc, deque=deque)
+
+  def result(self, state):
+    return jax.vmap(lambda dq: dq.mean())(state.deque)
+
+
 class ChosenActionHistogram(Metric):
   """Histogram of discrete actions (tf_metrics.py:369)."""
   name = "ChosenActionHistogram"

@@ -1,0 +1,37 @@
+"""Example binaries stay importable and runnable (tiny smoke configs).
+
+The reference treats examples as tested surface (benchmark/ wraps full
+train_evals); here each example's train_eval entry runs a few rounds."""
+import sys
+
+import numpy as np
+
+
+def test_bandits_train_eval_smoke(tmp_path):
+  sys.path.insert(0, "examples")
+  from examples.bandits_train_eval import Config, train_eval
+  cfg = Config(root_dir=str(tmp_path), env_batch_size=8, num_rounds=8,
+               log_interval=8)
+  state = train_eval(cfg, "linucb_stationary")
+  assert state is not None
+  assert (tmp_path / "linucb_stationary.jsonl").exists()
+
+
+def test_bandits_scenarios_registry_complete():
+  from examples.bandits_train_eval import SCENARIOS
+  expected = {"linucb_stationary", "lints_stationary", "neural_eps_greedy",
+              "neural_boltzmann", "neural_falcon", "neural_linucb",
+              "dropout_ts", "bernoulli_ts", "exp3", "wheel", "drifting",
+              "piecewise", "movielens", "per_arm", "ranking"}
+  assert expected <= set(SCENARIOS)
+
+
+def test_dqn_cartpole_example_smoke(tmp_path):
+  from examples.dqn_cartpole import Config, train_eval
+  cfg = Config(root_dir=str(tmp_path), env_batch_size=8,
+               num_iterations=20, initial_collect_steps=16,
+               replay_capacity=64, sample_batch_size=16,
+               log_interval=10, checkpoint_interval=10)
+  out = train_eval(cfg)
+  assert np.isfinite(out["loss"]) if isinstance(out, dict) and "loss" in out \
+      else True
