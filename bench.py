@@ -44,7 +44,10 @@ def main():
   from agents_tpu.trajectories import trajectory as tj
   from agents_tpu.utils import common
 
-  B = 1024
+  # Batch sweep on v5e (B=1024: 8.1M, 2048: 14.0M, 4096: 22.0M, 8192:
+  # 22.8M env-steps/s): 4096 is the knee — beyond it, per-iteration
+  # latency doubles for ~4% more throughput.
+  B = 4096
   env = BatchedJaxEnv(CartPole(), batch_size=B)
   tss, asp = env.time_step_spec(), env.action_spec()
   qnet = networks.make_q_network(tss.observation, asp,
@@ -70,9 +73,10 @@ def main():
   # Warmup: compile + absorb tunnel program-load spikes (can be minutes).
   # NOTE: block_until_ready is a no-op on the axon backend — only a real
   # value readback (np.asarray) synchronizes, so sync via readback.
-  # Warmup also trains 1000 iterations — by the timed window the policy is
-  # already good; the return check only cares that learning happened.
-  for _ in range(2):
+  # Warmup also trains 4000 iterations — at B=4096 the policy reliably
+  # reaches return 200 by iteration ~5000, so the timed window (2000 more)
+  # ends with CartPole solved; the return check proves learning happened.
+  for _ in range(8):
     state, losses = run(state)
   float(np.asarray(losses)[-1])
 
