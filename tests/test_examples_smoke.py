@@ -35,3 +35,21 @@ def test_dqn_cartpole_example_smoke(tmp_path):
   out = train_eval(cfg)
   assert np.isfinite(out["loss"]) if isinstance(out, dict) and "loss" in out \
       else True
+
+
+def test_sac_halfcheetah_1m_curve_passes_reference_window():
+  """The committed 1M-step SAC HalfCheetah run (results/, one v5e chip +
+  host MuJoCo, 23.4 min wall) must pass the reference's PerfZero window
+  (sac_benchmark.py:64-75: return in [800, 16000] at 1M)."""
+  import os
+  from agents_tpu.benchmark.return_windows import (SAC_HALFCHEETAH_WINDOWS,
+                                                   check_windows,
+                                                   read_jsonl_returns)
+  path = os.path.join(os.path.dirname(__file__), "..", "results",
+                      "sac_halfcheetah_1m.jsonl")
+  points = read_jsonl_returns(path)
+  assert len(points) >= 25
+  result = check_windows(points, SAC_HALFCHEETAH_WINDOWS[:1])
+  assert result[1_000_000], f"1M window failed: {points[-3:]}"
+  # And it genuinely learned: final > 25x the early curve.
+  assert points[-1][1] > 9000 and points[0][1] < 500
