@@ -55,7 +55,8 @@ class FusedTrainLoop:
   def __init__(self, env, agent, replay: UniformReplay, metrics=(),
                collect_steps_per_iteration: int = 1,
                sample_batch_size: int = 64,
-               train_steps_per_iteration: int = 1):
+               train_steps_per_iteration: int = 1,
+               per_beta: float = 0.4):
     self.env = env
     self.agent = agent
     self.replay = replay
@@ -63,6 +64,10 @@ class FusedTrainLoop:
     self.collect_steps = collect_steps_per_iteration
     self.sample_batch_size = sample_batch_size
     self.train_steps = train_steps_per_iteration
+    # Prioritized replay plugs in transparently: IS weights feed
+    # agent.train and TD errors flow back as new priorities.
+    self.prioritized = hasattr(replay, "update_priorities")
+    self.per_beta = per_beta
     observers = [self.replay.add_batch] + [m.update for m in self.metrics]
     self.driver = JaxDriver(env, agent.collect_policy, observers=observers)
 
@@ -104,16 +109,32 @@ class FusedTrainLoop:
     replay_state = obs_states[0]
     metric_states = tuple(obs_states[1:])
 
-    def train_once(agent_state, k):
-      experience, _ = self.replay.sample(
-          replay_state, k, self.sample_batch_size,
-          num_steps=self.agent.train_sequence_length)
-      agent_state, loss_info = self.agent.train(agent_state, experience)
-      return agent_state, loss_info
+    def train_once(carry, k):
+      agent_state, replay_state = carry
+      if self.prioritized:
+        experience, info = self.replay.sample(
+            replay_state, k, self.sample_batch_size,
+            num_steps=self.agent.train_sequence_length,
+            beta=self.per_beta)
+        agent_state, loss_info = self.agent.train(
+            agent_state, experience, weights=info.is_weights)
+        td = getattr(loss_info.extra, "td_error", None)
+        if td is not None:
+          if td.ndim > 1:  # sequence losses: [S, T-1] -> per-item scalar
+            td = jnp.mean(jnp.abs(td),
+                          axis=tuple(range(1, td.ndim)))
+          replay_state = self.replay.update_priorities(
+              replay_state, info, td)
+      else:
+        experience, _ = self.replay.sample(
+            replay_state, k, self.sample_batch_size,
+            num_steps=self.agent.train_sequence_length)
+        agent_state, loss_info = self.agent.train(agent_state, experience)
+      return (agent_state, replay_state), loss_info
 
     k_samples = jax.random.split(k_sample, self.train_steps)
-    agent_state, loss_infos = jax.lax.scan(
-        train_once, state.agent_state, k_samples)
+    (agent_state, replay_state), loss_infos = jax.lax.scan(
+        train_once, (state.agent_state, replay_state), k_samples)
     loss_info = jax.tree_util.tree_map(lambda x: x[-1], loss_infos)
 
     new_state = LoopState(driver_state=driver_state,
