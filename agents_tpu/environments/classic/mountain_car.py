@@ -132,7 +132,10 @@ class ContinuousMountainCar(JaxEnvironment):
     terminated = (pos >= _C_GOAL_POS) & (vel >= 0.0)
     done = terminated | (steps >= self.max_episode_steps)
 
-    reward = jnp.where(terminated, 100.0, 0.0) - 0.1 * force**2
+    # Penalty uses the RAW action (gymnasium MountainCarContinuous-v0
+    # semantics): out-of-bounds actions are clipped for the dynamics but
+    # still pay their full quadratic cost.
+    reward = jnp.where(terminated, 100.0, 0.0) - 0.1 * action[0] ** 2
     step_type = jnp.where(done, ts.StepType.LAST, ts.StepType.MID).astype(
         jnp.int32)
     discount = jnp.where(terminated, 0.0, 1.0).astype(jnp.float32)

@@ -32,6 +32,26 @@ from flax import struct
 from agents_tpu.specs import array_spec
 
 
+def _chunked_cumsum(flat: jax.Array, chunk: int = 1024) -> jax.Array:
+  """float32 inclusive cumsum with two-level accumulation.
+
+  A single flat cumsum over capacity*B entries (millions at target sizes)
+  accumulates O(N)-addition rounding error that skews the tail of the
+  CDF. Summing within fixed chunks and then offsetting by a cumsum of
+  per-chunk totals bounds the sequential accumulation at
+  O(chunk + N/chunk) additions per element.
+  """
+  n = flat.shape[0]
+  if n <= chunk:
+    return jnp.cumsum(flat)
+  pad = (-n) % chunk
+  chunks = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
+  within = jnp.cumsum(chunks, axis=1)
+  offsets = jnp.concatenate(
+      [jnp.zeros((1,), flat.dtype), jnp.cumsum(within[:-1, -1])])
+  return (within + offsets[:, None]).reshape(-1)[:n]
+
+
 @struct.dataclass
 class PrioritizedReplayState:
   storage: Any            # pytree: [capacity, B, ...]
@@ -141,13 +161,18 @@ class PrioritizedReplay:
     ps = jnp.where(valid[:, None],
                    jnp.power(state.priorities, self.alpha), 0.0)
     flat = ps.reshape(-1)                                   # [capacity*B]
-    cdf = jnp.cumsum(flat)
+    cdf = _chunked_cumsum(flat)
     total = jnp.maximum(cdf[-1], 1e-30)
 
     # Stratified: one uniform per equal-mass stratum (Schaul '15 §B.2.1).
+    # Clamp strictly below `total`: float32 rounding in the last stratum
+    # can otherwise produce u == total, whose searchsorted index lands one
+    # past the last positive-mass item (a never-written zero-priority
+    # slot) and poisons the IS-weight normalization.
     u = (jnp.arange(sample_batch_size, dtype=jnp.float32)
          + jax.random.uniform(key, (sample_batch_size,))) \
         / sample_batch_size * total
+    u = jnp.minimum(u, total * (1.0 - 1e-7))
     idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
     idx = jnp.minimum(idx, self.capacity * self.batch_size - 1)
 
@@ -158,7 +183,11 @@ class PrioritizedReplay:
     probs = flat[idx] / total
     n_valid = jnp.maximum(valid.sum() * self.batch_size, 1).astype(
         jnp.float32)
-    w = jnp.power(n_valid * jnp.maximum(probs, 1e-30), -float(beta))
+    # Belt-and-braces: a zero-probability sample (only reachable through
+    # float32 CDF pathologies) must not dominate the max-normalization.
+    w = jnp.where(probs > 0,
+                  jnp.power(n_valid * jnp.maximum(probs, 1e-30),
+                            -float(beta)), 0.0)
     w = w / jnp.maximum(w.max(), 1e-30)
 
     batch = self._gather(state.storage, t0, rows, n)

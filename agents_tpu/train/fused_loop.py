@@ -119,7 +119,20 @@ class FusedTrainLoop:
         agent_state, loss_info = self.agent.train(
             agent_state, experience, weights=info.is_weights)
         td = getattr(loss_info.extra, "td_error", None)
-        if td is not None:
+        if td is None:
+          # Trace-time check (this branch runs once, at trace): without a
+          # td_error the loop can never refresh priorities — every item
+          # keeps its insert-time max priority while beta-scaled IS
+          # weights still distort the loss, i.e. PER silently degrades
+          # to a slightly-biased uniform sampler.
+          import warnings
+          warnings.warn(
+              f"PrioritizedReplay paired with "
+              f"{type(self.agent).__name__}, whose LossInfo.extra has no "
+              "td_error field: priorities will never be updated. Use "
+              "UniformReplay, or expose td_error in the agent's loss "
+              "extras.", stacklevel=2)
+        else:
           if td.ndim > 1:  # sequence losses: [S, T-1] -> per-item scalar
             td = jnp.mean(jnp.abs(td),
                           axis=tuple(range(1, td.ndim)))
