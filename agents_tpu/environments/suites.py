@@ -61,13 +61,37 @@ def is_dm_control_available() -> bool:
     return False
 
 
-def load_dm_control(domain_name: str, task_name: str, **kwargs):
+def load_dm_control(domain_name: str, task_name: str, task_kwargs=None,
+                    environment_kwargs=None, visualize_reward: bool = False,
+                    render_kwargs=None, env_wrappers: Sequence = ()):
+  """dm_control suite loader (reference suite_dm_control.py:33-136):
+  ``dm_control.suite.load`` -> DmEnvWrapper -> optional extra wrappers."""
   if not is_dm_control_available():
     _missing("dm_control", "dm-control")
   from dm_control import suite as dm_suite  # type: ignore
 
-  raise NotImplementedError(
-      "dm_control adapter pending backend availability in this image")
+  dmc_env = dm_suite.load(domain_name, task_name, task_kwargs=task_kwargs,
+                          environment_kwargs=environment_kwargs,
+                          visualize_reward=visualize_reward)
+  return wrap_dm_env(dmc_env, render_kwargs=render_kwargs,
+                     env_wrappers=env_wrappers)
+
+
+def wrap_dm_env(dm_env_instance, render_kwargs=None,
+                env_wrappers: Sequence = (),
+                flatten_observations: bool = False):
+  """Adapt any dm_env.Environment-conforming object (dm_control, bsuite,
+  custom) to a PyEnvironment. Separated from the loaders so the adapter
+  is testable against fake dm_env classes without the backends."""
+  from agents_tpu.environments import wrappers
+  from agents_tpu.environments.dm_env_wrapper import DmEnvWrapper
+
+  env = DmEnvWrapper(dm_env_instance, render_kwargs=render_kwargs)
+  if flatten_observations:
+    env = wrappers.FlattenObservationsWrapper(env)
+  for wrapper in env_wrappers:
+    env = wrapper(env)
+  return env
 
 
 def is_pybullet_available() -> bool:
@@ -94,8 +118,21 @@ def is_bsuite_available() -> bool:
     return False
 
 
-def load_bsuite(bsuite_id: str, **kwargs):
+def load_bsuite(bsuite_id: str, record: bool = False,
+                save_path: Optional[str] = None,
+                logging_mode: str = "csv", overwrite: bool = False,
+                env_wrappers: Sequence = ()):
+  """bsuite loader (reference suite_bsuite.py:30-90). bsuite environments
+  speak dm_env, so they go through the same DmEnvWrapper adapter."""
   if not is_bsuite_available():
     _missing("bsuite", "bsuite")
-  raise NotImplementedError(
-      "bsuite adapter pending backend availability in this image")
+  import bsuite  # type: ignore
+
+  if record:
+    raw_env = bsuite.load_and_record(bsuite_id=bsuite_id,
+                                     save_path=save_path,
+                                     logging_mode=logging_mode,
+                                     overwrite=overwrite)
+  else:
+    raw_env = bsuite.load_from_id(bsuite_id=bsuite_id)
+  return wrap_dm_env(raw_env, env_wrappers=env_wrappers)
