@@ -17,6 +17,7 @@ from agents_tpu.networks.network import Network, _uniform_symmetric
 from agents_tpu.networks.projection_networks import (
     NormalProjection, TanhNormalProjection, default_projection)
 from agents_tpu.specs import array_spec
+from agents_tpu.networks.registry import register_factory
 
 
 class ActorDistributionModule(nn.Module):
@@ -72,6 +73,7 @@ class DeterministicActorModule(nn.Module):
     return low + (high - low) / 2.0 * (a + 1.0), network_state
 
 
+@register_factory
 def make_actor_distribution_network(
     input_spec, action_spec, conv_layer_params=(), fc_layer_params=(200, 100),
     activation=nn.relu, continuous_projection=NormalProjection,
@@ -85,6 +87,7 @@ def make_actor_distribution_network(
   return net
 
 
+@register_factory
 def make_sac_actor_network(input_spec, action_spec,
                            fc_layer_params=(256, 256),
                            activation=nn.relu, dtype=jnp.float32) -> Network:
@@ -95,6 +98,7 @@ def make_sac_actor_network(input_spec, action_spec,
       dtype=dtype)
 
 
+@register_factory
 def make_deterministic_actor_network(input_spec, action_spec,
                                      fc_layer_params=(256, 256),
                                      activation=nn.relu,

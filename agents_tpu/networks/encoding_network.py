@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from agents_tpu.networks.network import Network, variance_scaling
 from agents_tpu.specs import array_spec
+from agents_tpu.networks.registry import register_factory
 
 
 class EncoderModule(nn.Module):
@@ -62,6 +63,7 @@ class EncoderModule(nn.Module):
     return x, network_state
 
 
+@register_factory
 def make_encoding_network(input_spec, conv_layer_params=(),
                           fc_layer_params=(64, 64), activation=nn.relu,
                           dtype=jnp.float32) -> Network:

@@ -25,6 +25,7 @@ from agents_tpu.networks.projection_networks import (
     NormalProjection, default_projection)
 from agents_tpu.specs import array_spec
 from agents_tpu.trajectories import time_step as ts
+from agents_tpu.networks.registry import register_factory
 
 
 class _MaskedLSTMCell(nn.Module):
@@ -173,6 +174,7 @@ def _lstm_state_spec(lstm_size: int):
           array_spec.ArraySpec((lstm_size,), np.float32, "lstm_h"))
 
 
+@register_factory
 def make_q_rnn_network(input_spec, action_spec, input_fc_layer_params=(40,),
                        lstm_size=40, output_fc_layer_params=(40,),
                        dtype=jnp.float32) -> Network:
@@ -185,6 +187,7 @@ def make_q_rnn_network(input_spec, action_spec, input_fc_layer_params=(40,),
   return Network(module, input_spec, state_spec=_lstm_state_spec(lstm_size))
 
 
+@register_factory
 def make_value_rnn_network(input_spec, input_fc_layer_params=(40,),
                            lstm_size=40, output_fc_layer_params=(40,),
                            dtype=jnp.float32) -> Network:
@@ -195,6 +198,7 @@ def make_value_rnn_network(input_spec, input_fc_layer_params=(40,),
   return Network(module, input_spec, state_spec=_lstm_state_spec(lstm_size))
 
 
+@register_factory
 def make_actor_distribution_rnn_network(
     input_spec, action_spec, input_fc_layer_params=(40,), lstm_size=40,
     output_fc_layer_params=(40,), continuous_projection=NormalProjection,

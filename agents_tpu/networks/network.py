@@ -53,6 +53,9 @@ class Network:
     self.module = module
     self.input_spec = input_spec
     self.state_spec = state_spec
+    # Serializable architecture config stamped by registry.register_factory
+    # (None for hand-assembled networks -> explicit-load path only).
+    self.build_config = None
 
   def init_params(self, key, batch_size: int = 1):
     """Create parameters from specs (reference create_variables :188)."""

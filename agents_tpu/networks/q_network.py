@@ -15,6 +15,7 @@ import numpy as np
 from agents_tpu.networks.encoding_network import EncoderModule
 from agents_tpu.networks.network import Network, variance_scaling, _uniform_symmetric
 from agents_tpu.specs import array_spec
+from agents_tpu.networks.registry import register_factory
 
 
 def _num_actions(action_spec) -> int:
@@ -105,6 +106,7 @@ class CategoricalQModule(nn.Module):
     return logits.astype(jnp.float32), network_state
 
 
+@register_factory
 def make_q_network(input_spec, action_spec, conv_layer_params=(),
                    fc_layer_params=(64, 64), activation=nn.relu,
                    dueling: bool = False, dtype=jnp.float32,
@@ -118,6 +120,7 @@ def make_q_network(input_spec, action_spec, conv_layer_params=(),
   return Network(module, input_spec)
 
 
+@register_factory
 def make_categorical_q_network(input_spec, action_spec, num_atoms=51,
                                conv_layer_params=(), fc_layer_params=(64, 64),
                                activation=nn.relu,

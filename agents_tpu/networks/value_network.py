@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from agents_tpu.networks.encoding_network import EncoderModule
 from agents_tpu.networks.network import Network, _uniform_symmetric
+from agents_tpu.networks.registry import register_factory
 
 
 class ValueModule(nn.Module):
@@ -71,6 +72,7 @@ class CriticModule(nn.Module):
     return jnp.squeeze(q, -1).astype(jnp.float32), network_state
 
 
+@register_factory
 def make_value_network(input_spec, fc_layer_params=(64, 64),
                        conv_layer_params=(), activation=nn.relu,
                        dtype=jnp.float32) -> Network:
@@ -80,6 +82,7 @@ def make_value_network(input_spec, fc_layer_params=(64, 64),
   return Network(module, input_spec)
 
 
+@register_factory
 def make_critic_network(observation_spec, action_spec,
                         observation_fc_layer_params=(),
                         joint_fc_layer_params=(256, 256), activation=nn.relu,

@@ -57,6 +57,7 @@ class PolicySaver:
     self.metadata = metadata or {}
 
   def save(self, export_dir: str, params):
+    from agents_tpu.policies.registry import policy_config
     export_dir = os.path.abspath(export_dir)
     os.makedirs(export_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
@@ -70,6 +71,11 @@ class PolicySaver:
         "action_spec": _spec_to_json(self.policy.action_spec),
         "train_step": int(self.train_step),
         "metadata": self.metadata,
+        # Self-contained restore (reference SavedModel parity,
+        # policy_saver.py:103): the full policy/network architecture as a
+        # config, or null when the policy holds unserializable pieces —
+        # then load_policy needs the explicit policy object.
+        "policy_config": policy_config(self.policy),
     }
     with open(os.path.join(export_dir, "policy_manifest.json"), "w") as f:
       json.dump(manifest, f, indent=2)
@@ -122,14 +128,40 @@ def load_manifest(export_dir: str) -> dict:
     return json.load(f)
 
 
-def load_policy(export_dir: str, policy, params_template) -> SavedPolicy:
-  """Load exported params into a policy built by the caller (the network
-  architecture itself is code, not data — matching how the reference's
-  SavedModel embeds the graph, we embed it as the policy object)."""
+def load_policy(export_dir: str, policy=None,
+                params_template=None) -> SavedPolicy:
+  """Load an exported policy.
+
+  Self-contained path (reference SavedModel parity): with no `policy`
+  argument the policy object is rebuilt from the manifest's
+  ``policy_config`` (network architecture + wrapper stack + specs) and
+  params restore without a caller template — a fresh process needs only
+  the export directory.
+
+  Explicit path: pass `policy` (and optionally `params_template`) for
+  artifacts whose manifest has no ``policy_config`` (custom policy
+  classes, callables the config can't represent).
+  """
   export_dir = os.path.abspath(export_dir)
   manifest = load_manifest(export_dir)
+  if policy is None:
+    from agents_tpu.policies.registry import build_policy
+    from agents_tpu.trajectories import time_step as ts
+    cfg = manifest.get("policy_config")
+    if cfg is None:
+      raise ValueError(
+          f"{export_dir} was saved without a policy_config (the policy "
+          "held unserializable pieces); pass the policy object to "
+          "load_policy explicitly.")
+    tss = ts.time_step_spec(
+        _spec_from_json(manifest["time_step_spec"]["observation"]),
+        _spec_from_json(manifest["time_step_spec"]["reward"]))
+    policy = build_policy(cfg, tss, _spec_from_json(manifest["action_spec"]))
   with ocp.StandardCheckpointer() as ckptr:
-    params = ckptr.restore(os.path.join(export_dir, "params"),
-                           params_template)
+    if params_template is None:
+      params = ckptr.restore(os.path.join(export_dir, "params"))
+    else:
+      params = ckptr.restore(os.path.join(export_dir, "params"),
+                             params_template)
   return SavedPolicy(policy, params, manifest["train_step"],
                      manifest.get("metadata", {}), export_dir)

@@ -71,9 +71,12 @@ class StepPerSecondLogTrigger(IntervalTrigger):
 
 
 class PolicyCheckpointTrigger(IntervalTrigger):
-  """Exports greedy/collect policies + agent checkpoint every N steps —
-  the PolicySavedModelTrigger analogue (reference triggers.py:40, which
-  exports greedy_policy/, collect_policy/, checkpoints/)."""
+  """Exports the greedy/collect/raw policy trio + agent checkpoint every
+  N steps — the PolicySavedModelTrigger analogue (reference triggers.py:40,
+  which exports greedy_policy/, collect_policy/, policy/ and checkpoints/).
+  Each directory is a self-contained artifact when the policy serializes
+  (policies/registry.py): a fresh process restores with load_policy(dir)
+  alone."""
 
   def __init__(self, root_dir: str, agent, get_agent_state: Callable,
                interval: int, checkpointer=None):
@@ -87,9 +90,19 @@ class PolicyCheckpointTrigger(IntervalTrigger):
     def _fire():
       agent_state = self.get_agent_state()
       step = int(agent_state.train_step)
-      params = self.agent.policy_params(agent_state)
-      for name, policy in (("greedy_policy", self.agent.policy),
-                           ("collect_policy", self.agent.collect_policy)):
+      # Raw = the unwrapped distribution policy underneath the greedy
+      # wrapper (the reference's `policy` export; agent.policy there is
+      # raw and greedy is a wrapper — here agent.policy is already the
+      # greedy wrapper, so raw is its wrapped policy).
+      raw = getattr(self.agent.policy, "wrapped", self.agent.policy)
+      exports = (
+          ("greedy_policy", self.agent.policy,
+           self.agent.policy_params(agent_state)),
+          ("collect_policy", self.agent.collect_policy,
+           self.agent.collect_policy_params(agent_state)),
+          ("policy", raw, self.agent.policy_params(agent_state)),
+      )
+      for name, policy, params in exports:
         saver = self._saver_cls(policy, train_step=step)
         saver.save(os.path.join(root_dir, "policies", name), params)
       if self.checkpointer is not None:
