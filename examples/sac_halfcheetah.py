@@ -36,6 +36,7 @@ class Config:
   target_update_tau: float = 0.005
   reward_scale_factor: float = 0.1
   progress_every_ticks: int = 1000
+  seed: int = 0
 
 
 def train_eval(cfg: Config):
@@ -94,6 +95,7 @@ def train_eval(cfg: Config):
 
   out = loop.run(
       total_env_batch_steps=cfg.total_env_steps // cfg.env_batch_size,
+      seed=cfg.seed,
       initial_random_steps=cfg.initial_collect_ticks,
       progress_fn=progress, progress_every=cfg.progress_every_ticks)
 
