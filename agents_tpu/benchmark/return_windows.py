@@ -65,6 +65,45 @@ def check_windows(points: Sequence[Tuple[int, float]],
   return results
 
 
+@dataclasses.dataclass(frozen=True)
+class LiveWindow:
+  """A live-run pass criterion: some measured point with
+  step <= step_budget must have return >= min_return (the PerfZero
+  pattern run against a short training executed inside the test itself,
+  not a committed artifact)."""
+  step_budget: int
+  min_return: float
+
+
+# Live short-horizon windows (run by tests/test_live_windows.py on every
+# suite invocation; budgets are ~2-6x the typical solve point so seed
+# variance doesn't flake):
+# DQN CartPole at the reference operating point (1 env, sample batch 64,
+# replay 100k — agents/dqn/examples/v2/train_eval.py:94-127; solves by
+# ~6k fused iterations, budget 30k).
+DQN_CARTPOLE_REFERENCE_LIVE = LiveWindow(30_000, 195.0)
+# PPO-clip CartPole (schulman17 shape; solves by ~30 iterations of
+# 128x32 frames, budget 150).
+PPO_CARTPOLE_LIVE = LiveWindow(150, 195.0)
+# SAC Pendulum on the device env (solves ~ -250 by ~2.3k iterations at
+# UTD 16 (4 train steps per 8-row env step), budget 8k).
+SAC_PENDULUM_LIVE = LiveWindow(8_000, -250.0)
+# Catch conv path (random play ~ -0.6; competent ~ +1).
+CATCH_CONV_LIVE = LiveWindow(3_000, 0.5)
+
+
+def assert_live_window(points: Sequence[Tuple[int, float]],
+                       window: LiveWindow, name: str = "benchmark"):
+  """Assert some (step, return) point inside the live window."""
+  ok = any(s <= window.step_budget and r >= window.min_return
+           for s, r in points)
+  if not ok:
+    raise AssertionError(
+        f"{name}: no point reached return >= {window.min_return} within "
+        f"{window.step_budget} steps; points={list(points)[-5:]}")
+  return True
+
+
 def assert_windows(points, windows, name: str = "benchmark"):
   results = check_windows(points, windows)
   failed = {k: v for k, v in results.items() if not v}

@@ -1,3 +1,4 @@
-from agents_tpu.drivers.jax_driver import DriverState, JaxDriver
+from agents_tpu.drivers.jax_driver import (DriverState, JaxDriver,
+                                           JaxEpisodeDriver)
 
-__all__ = ["DriverState", "JaxDriver"]
+__all__ = ["DriverState", "JaxDriver", "JaxEpisodeDriver"]

@@ -83,3 +83,99 @@ class JaxDriver:
     if self.return_trajectories:
       return state, observer_states, frames
     return state, observer_states
+
+
+class JaxEpisodeDriver:
+  """Jitted run-until-N-episodes: the DynamicEpisodeDriver analogue.
+
+  Replaces ``tf_agents/drivers/dynamic_episode_driver.py:45`` (a
+  tf.while_loop with per-batch-index episode counters) with a
+  `lax.while_loop` over lockstep batch steps, counting exactly
+  `num_episodes` completed episodes across the batch.
+
+  Exactness via per-row masking: episode quotas are distributed over the
+  batch rows (row i gets ``num_episodes // B`` episodes plus one of the
+  remainder), and once a row has filled its quota its frames are rewritten
+  as boundary frames with zero reward before reaching observers —
+  is_boundary() frames are invisible to every standard metric
+  (EnvironmentSteps skips boundaries, return/length metrics neither
+  accumulate nor push on them), so metrics see exactly `num_episodes`
+  episodes, unlike the reference driver which can overshoot by up to B-1
+  episodes in its final iteration (dynamic_episode_driver.py:158-176).
+
+  `num_episodes` must be >= batch_size or a multiple won't matter —
+  any positive count works; rows beyond the remainder simply get the
+  smaller quota. `max_steps` bounds the while_loop (a safety net against
+  never-terminating envs); static so the program shape is fixed.
+  """
+
+  def __init__(self, env: BatchedJaxEnv, policy,
+               observers: Sequence[Callable] = ()):
+    self.env = env
+    self.policy = policy
+    self.observers = tuple(observers)
+
+  def init(self, key) -> DriverState:
+    env_state, time_step = self.env.reset(key)
+    policy_state = self.policy.init_state(self.env.batch_size)
+    return DriverState(env_state=env_state, time_step=time_step,
+                       policy_state=policy_state)
+
+  def _quotas(self, num_episodes: int) -> jnp.ndarray:
+    b = self.env.batch_size
+    base, rem = divmod(num_episodes, b)
+    return base + (jnp.arange(b) < rem).astype(jnp.int32)
+
+  def run(self, params, state: DriverState, observer_states, key,
+          num_episodes: int, max_steps: int = 10_000):
+    """Returns (state, observer_states, steps_taken)."""
+    quotas = self._quotas(num_episodes)
+
+    def _mask_frame(frame: tj.Trajectory, valid):
+      """Rewrite dead rows as boundary frames invisible to metrics."""
+      def bcast(mask, x):
+        return jnp.reshape(mask, mask.shape + (1,) * (x.ndim - mask.ndim))
+
+      step_type = jnp.where(valid, frame.step_type, ts.StepType.LAST)
+      next_step_type = jnp.where(valid, frame.next_step_type,
+                                 ts.StepType.MID)
+      reward = jax.tree_util.tree_map(
+          lambda r: jnp.where(bcast(valid, r), r, jnp.zeros_like(r)),
+          frame.reward)
+      discount = jnp.where(valid, frame.discount,
+                           jnp.zeros_like(frame.discount))
+      return frame.replace(step_type=step_type,
+                           next_step_type=next_step_type,
+                           reward=reward, discount=discount)
+
+    def cond(carry):
+      _, _, completed, steps, _ = carry
+      return jnp.logical_and(jnp.any(completed < quotas),
+                             steps < max_steps)
+
+    def body(carry):
+      dstate, obs_states, completed, steps, k = carry
+      k, k_pol, k_env = jax.random.split(k, 3)
+      action_step = self.policy.action(
+          params, dstate.time_step, dstate.policy_state, k_pol)
+      env_state, next_time_step = self.env.step(
+          dstate.env_state, dstate.time_step, action_step.action, k_env)
+      frame = tj.from_transition(dstate.time_step, action_step,
+                                 next_time_step)
+      valid = completed < quotas
+      masked = _mask_frame(frame, valid)
+      new_obs_states = tuple(
+          obs(s, masked) for obs, s in zip(self.observers, obs_states))
+      completed = completed + (
+          jnp.logical_and(frame.is_last(), valid)).astype(jnp.int32)
+      new_dstate = DriverState(env_state=env_state,
+                               time_step=next_time_step,
+                               policy_state=action_step.state)
+      return (new_dstate, new_obs_states, completed, steps + 1, k)
+
+    completed0 = jnp.zeros((self.env.batch_size,), jnp.int32)
+    carry = (state, tuple(observer_states), completed0,
+             jnp.zeros((), jnp.int32), key)
+    state, observer_states, _, steps, _ = jax.lax.while_loop(
+        cond, body, carry)
+    return state, observer_states, steps

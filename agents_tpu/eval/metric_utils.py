@@ -56,6 +56,42 @@ def evaluate_jax_env(env, policy, params, key, num_steps: int,
   }
 
 
+def evaluate_jax_env_episodes(env, policy, params, key, num_episodes: int,
+                              max_steps: int = 10_000,
+                              metrics: Sequence = ()) -> dict:
+  """Pure-JAX env eval over exactly `num_episodes` episodes.
+
+  The device analogue of the reference's eager_compute +
+  DynamicEpisodeDriver path (eval/metric_utils.py:123,
+  dynamic_episode_driver.py:45): one jitted while_loop that stops when
+  every row has filled its episode quota, masking overshoot frames so the
+  metrics count exactly N episodes. Prefer this over `evaluate_jax_env`
+  when the episode horizon varies (no need to guess a step budget)."""
+  from agents_tpu.drivers.jax_driver import JaxEpisodeDriver
+  from agents_tpu.metrics import jax_metrics
+
+  metrics = tuple(metrics) or jax_metrics.standard_collect_metrics(
+      buffer_size=max(num_episodes, 10))
+  driver = JaxEpisodeDriver(env, policy, observers=[m.update for m in metrics])
+
+  @jax.jit
+  def _run(k):
+    k_init, k_run = jax.random.split(k)
+    dstate = driver.init(k_init)
+    obs_states = tuple(m.init(env.batch_size) for m in metrics)
+    _, obs_states, steps = driver.run(params, dstate, obs_states, k_run,
+                                      num_episodes, max_steps)
+    return obs_states, steps
+
+  obs_states, steps = _run(key)
+  out = {
+      m.name: np.asarray(jax.device_get(m.result(s)))
+      for m, s in zip(metrics, obs_states)
+  }
+  out["_steps"] = int(steps)
+  return out
+
+
 class MetricsGroup:
   """Checkpointable bundle of host (py) metric state (reference
   eval/metric_utils.py:33 MetricsGroup + utils/numpy_storage.NumpyState).

@@ -3,6 +3,11 @@ from agents_tpu.replay_buffers.prioritized_replay import (
     PrioritizedReplay,
     PrioritizedReplayState,
 )
+from agents_tpu.replay_buffers.rate_limiter import (
+    MinSize,
+    RateLimiter,
+    SampleToInsertRatio,
+)
 from agents_tpu.replay_buffers.uniform_replay import (
     BufferInfo,
     ReplayState,
@@ -11,9 +16,12 @@ from agents_tpu.replay_buffers.uniform_replay import (
 
 __all__ = [
     "BufferInfo",
+    "MinSize",
     "PrioritizedBufferInfo",
     "PrioritizedReplay",
     "PrioritizedReplayState",
+    "RateLimiter",
     "ReplayState",
+    "SampleToInsertRatio",
     "UniformReplay",
 ]

@@ -28,8 +28,10 @@ _lib = None
 
 
 def ensure_built() -> str:
-  """Build the native library if missing (make -C native)."""
-  if not os.path.exists(_LIB_PATH):
+  """Build the native library if missing or stale (make -C native)."""
+  src = os.path.join(_NATIVE_DIR, "ingest", "ingest.cc")
+  if (not os.path.exists(_LIB_PATH)
+      or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
     subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                    capture_output=True)
   return _LIB_PATH
@@ -48,6 +50,9 @@ def _load():
   lib.ingest_push.restype = ctypes.c_uint64
   lib.ingest_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_uint64]
+  lib.ingest_try_push.restype = ctypes.c_uint64
+  lib.ingest_try_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_uint64]
   lib.ingest_drain.restype = ctypes.c_uint64
   lib.ingest_drain.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_uint64]
@@ -159,6 +164,31 @@ class IngestClient:
     buf = np.ascontiguousarray(self.codec.encode_batch(frames))
     return int(self._lib.ingest_push(
         self._h, buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0]))
+
+  def push_blocking(self, frames, timeout: Optional[float] = None,
+                    poll_interval: float = 0.002) -> int:
+    """Push all frames, waiting for ring space instead of dropping.
+
+    The producer-side half of Reverb's rate limiting: a full ring means
+    the learner is behind, so the actor blocks (bounding policy
+    staleness) rather than silently discarding experience. Returns
+    frames accepted (< B only on timeout)."""
+    import time as _time
+
+    buf = np.ascontiguousarray(self.codec.encode_batch(frames))
+    total = buf.shape[0]
+    sent = 0
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    while sent < total:
+      chunk = np.ascontiguousarray(buf[sent:])
+      n = int(self._lib.ingest_try_push(
+          self._h, chunk.ctypes.data_as(ctypes.c_void_p), chunk.shape[0]))
+      sent += n
+      if sent < total:
+        if deadline is not None and _time.monotonic() >= deadline:
+          break
+        _time.sleep(poll_interval)
+    return sent
 
   def close(self):
     if self._h:

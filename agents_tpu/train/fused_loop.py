@@ -166,8 +166,47 @@ class FusedTrainLoop:
     state, losses = jax.lax.scan(body, state, None, length=num_iterations)
     return state, losses
 
+  def run_with_info(self, state: LoopState, num_iterations: int):
+    """Like `run` but returns the full stacked LossInfo (loss + extras),
+    so the Learner can surface per-loss-component summaries the way the
+    reference writes agent loss extras under its summary gate
+    (train/learner.py:285-292)."""
+
+    def body(s, _):
+      return self.iteration(s)
+
+    state, infos = jax.lax.scan(body, state, None, length=num_iterations)
+    return state, infos
+
   def results(self, state: LoopState):
     return {
         m.name: m.result(ms)
         for m, ms in zip(self.metrics, state.metric_states)
     }
+
+  def evaluate(self, state: LoopState, key, num_episodes: int = 10,
+               max_steps: int = 10_000, eval_metrics=None):
+    """Greedy-policy eval over exactly `num_episodes` episodes, jitted.
+
+    The on-device analogue of the reference train_eval's periodic
+    `metric_utils.eager_compute` over a DynamicEpisodeDriver
+    (dqn/examples/v2/train_eval.py:306, dynamic_episode_driver.py:45):
+    a fresh batch of env rows is reset and run until every row fills its
+    episode quota; overshoot frames are masked so metrics count exactly
+    N episodes. Returns {metric_name: device scalar}."""
+    from agents_tpu.drivers.jax_driver import JaxEpisodeDriver
+    from agents_tpu.metrics import jax_metrics
+
+    metrics = tuple(eval_metrics) if eval_metrics else (
+        jax_metrics.AverageReturnMetric(max(num_episodes, 10)),
+        jax_metrics.AverageEpisodeLengthMetric(max(num_episodes, 10)),
+        jax_metrics.NumberOfEpisodes())
+    driver = JaxEpisodeDriver(self.env, self.agent.policy,
+                              observers=[m.update for m in metrics])
+    params = self.agent.policy_params(state.agent_state)
+    k_init, k_run = jax.random.split(key)
+    dstate = driver.init(k_init)
+    obs_states = tuple(m.init(self.env.batch_size) for m in metrics)
+    _, obs_states, _ = driver.run(params, dstate, obs_states, k_run,
+                                  num_episodes, max_steps)
+    return {m.name: m.result(s) for m, s in zip(metrics, obs_states)}

@@ -46,18 +46,34 @@ class Learner:
                triggers: Sequence = (),
                checkpoint_interval: int = 100_000,
                steps_per_run_call: int = 1,
-               summary_writer=None):
+               summary_writer=None,
+               summary_interval: int = 100,
+               extra_summary_fn: Optional[Callable] = None):
     self.root_dir = root_dir
     self.train_dir = os.path.join(root_dir, TRAIN_DIR)
     os.makedirs(self.train_dir, exist_ok=True)
     self.loop = loop
-    self._train_fn = train_fn or (lambda s, n: loop.run(s, n))
+    # Prefer the loop's info-returning path so loss extras reach
+    # summaries (the reference writes agent loss components under its
+    # summary gate, train/learner.py:285-292).
+    self._with_info = train_fn is None and hasattr(loop, "run_with_info")
+    if train_fn is not None:
+      self._train_fn = train_fn
+    elif self._with_info:
+      self._train_fn = lambda s, n: loop.run_with_info(s, n)
+    else:
+      self._train_fn = lambda s, n: loop.run(s, n)
     self._jitted = jax.jit(self._train_fn, static_argnums=1)
     self.state = initial_state
     self.triggers = list(triggers)
     self.summary_writer = summary_writer
+    self.summary_interval = summary_interval
+    self.extra_summary_fn = extra_summary_fn
     self.global_step = 0
     self._tracker = StepPerSecondTracker()
+    self._summary_trigger = IntervalTrigger(
+        max(summary_interval, 1), self._write_summaries)
+    self._last_info = None
 
     if checkpoint_interval <= 0:
       logging.warning(
@@ -78,16 +94,51 @@ class Learner:
 
   def run(self, iterations: int = 1):
     """Run `iterations` fused train iterations; returns last loss."""
-    self.state, losses = self._jitted(self.state, iterations)
+    self.state, out = self._jitted(self.state, iterations)
     self.global_step += iterations
+    if self._with_info:
+      self._last_info = jax.tree_util.tree_map(lambda x: x[-1], out)
+      losses = out.loss
+    else:
+      self._last_info = None
+      losses = out
     loss = float(np.asarray(losses)[-1]) if np.ndim(losses) else float(losses)
+    self._last_loss = loss
     for trig in self.triggers:
       trig(self.global_step)
     if self._ckpt_trigger is not None:
       self._ckpt_trigger(self.global_step)
     if self.summary_writer is not None:
-      self.summary_writer.scalar("loss", loss, self.global_step)
+      self._summary_trigger(self.global_step)
     return loss
+
+  def _write_summaries(self):
+    """Emit loss, loss extras, collect metrics, and steps/sec — the full
+    observability set the reference gates per summary_interval
+    (train/learner.py:285-292 + Actor.write_metric_summaries)."""
+    w = self.summary_writer
+    step = self.global_step
+    w.scalar("loss", self._last_loss, step)
+    if self._last_info is not None:
+      extra = self._last_info.extra
+      leaves_with_paths = jax.tree_util.tree_flatten_with_path(extra)[0]
+      for path, leaf in leaves_with_paths:
+        name = "loss_extra/" + "/".join(
+            str(getattr(p, "name", getattr(p, "key", getattr(p, "idx", p))))
+            for p in path) if path else "loss_extra"
+        val = np.asarray(jax.device_get(leaf))
+        w.scalar(name, float(val.mean()), step)
+    if self.loop is not None and hasattr(self.loop, "results"):
+      for name, val in self.loop.results(self.state).items():
+        v = np.asarray(jax.device_get(val))
+        if v.ndim == 0:
+          w.scalar("collect/" + name, float(v), step)
+    sps = self._tracker.steps_per_second(step)
+    self._tracker.restart(step)
+    w.scalar("steps_per_sec", sps, step)
+    if self.extra_summary_fn is not None:
+      for name, val in self.extra_summary_fn(self.state).items():
+        w.scalar(name, float(val), step)
 
   def steps_per_second(self):
     sps = self._tracker.steps_per_second(self.global_step)

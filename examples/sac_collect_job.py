@@ -138,7 +138,11 @@ def main():
       pair = jax.tree_util.tree_map(
           lambda a, b: np.stack([np.asarray(a), np.asarray(b)], axis=1),
           prev_frame, frame)
-      pushed += client.push(pair)
+      # Blocking push = Reverb-style producer backpressure: a full ring
+      # means the learner is behind, so wait (bounding policy staleness)
+      # instead of dropping experience; the timeout keeps the actor
+      # responsive to policy refreshes if the learner dies.
+      pushed += client.push_blocking(pair, timeout=10.0)
     prev_frame = frame
     time_step = next_ts
     tick += 1

@@ -42,6 +42,11 @@ def main():
   parser.add_argument("--sample_batch_size", type=int, default=256)
   parser.add_argument("--train_steps_per_call", type=int, default=8)
   parser.add_argument("--min_replay_items", type=int, default=512)
+  parser.add_argument("--samples_per_insert", type=float, default=0.0,
+                      help="Reverb SampleToInsertRatio gating: target "
+                      "sampled-items per ingested item; 0 = MinSize only")
+  parser.add_argument("--sample_insert_error_buffer", type=float,
+                      default=0.0, help="ratio slack in samples; 0 = auto")
   parser.add_argument("--total_train_steps", type=int, default=10000)
   parser.add_argument("--export_interval_steps", type=int, default=200)
   parser.add_argument("--log_interval_steps", type=int, default=400)
@@ -145,17 +150,45 @@ def main():
   key = jax.random.key(args.seed + 1)
   print(json.dumps({"job": "train", "waiting_for_items":
                     args.min_replay_items}), flush=True)
-  # Rate limiter (MinSize analogue): wait for the actors' first items.
-  while total_items < args.min_replay_items:
-    total_items += drain_all()
-    replay_state = flush_staged(replay_state)
-    time.sleep(0.05)
+
+  # Reverb-style rate limiting (replay_buffer_utils.py:29-56): MinSize
+  # blocks the first sample until the actors have written the initial
+  # collect; SampleToInsertRatio additionally paces the trainer against
+  # ingest (fast trainer waits instead of spinning on a stale buffer;
+  # fast actors see a full ring once drains pause and block in
+  # push_blocking).
+  from agents_tpu.replay_buffers.rate_limiter import (MinSize,
+                                                      SampleToInsertRatio)
+  samples_per_chunk = args.train_steps_per_call * args.sample_batch_size
+  if args.samples_per_insert > 0:
+    eb = args.sample_insert_error_buffer or 2.0 * max(
+        samples_per_chunk, args.samples_per_insert)
+    limiter = SampleToInsertRatio(args.samples_per_insert,
+                                  args.min_replay_items, eb)
+  else:
+    limiter = MinSize(args.min_replay_items)
+
+  def drain_gated():
+    nonlocal total_items
+    if not limiter.can_insert(1):
+      return 0
+    got = drain_all()
+    if got:
+      limiter.record_insert(got)
+      total_items += got
+    return got
 
   t0 = time.time()
   last_export = 0
   while train_steps < args.total_train_steps:
-    total_items += drain_all()
+    # Drain while allowed, then wait for the limiter to clear sampling.
+    drain_gated()
     replay_state = flush_staged(replay_state)
+    while not limiter.can_sample(samples_per_chunk):
+      if drain_gated() == 0:
+        time.sleep(0.01)
+      replay_state = flush_staged(replay_state)
+    limiter.record_sample(samples_per_chunk)
     key, sub = jax.random.split(key)
     agent_state, loss = train_chunk(agent_state, replay_state, sub)
     train_steps += args.train_steps_per_call

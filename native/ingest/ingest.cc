@@ -154,19 +154,20 @@ uint64_t ingest_size(void* h) {
 }
 
 // Push n frames (producer). Returns number actually enqueued.
-uint64_t ingest_push(void* h, const void* frames, uint64_t n) {
-  Ring* r = static_cast<Ring*>(h);
+static uint64_t push_impl(Ring* r, const uint8_t* src, uint64_t n,
+                          bool count_drops) {
   RingHeader* hdr = r->hdr;
   const uint64_t cap = hdr->capacity;
   const uint64_t fb = hdr->frame_bytes;
-  const uint8_t* src = static_cast<const uint8_t*>(frames);
   uint64_t pushed = 0;
   for (; pushed < n; ++pushed) {
     uint64_t head = hdr->head.load(std::memory_order_relaxed);
     for (;;) {
       uint64_t tail = hdr->tail.load(std::memory_order_acquire);
       if (head - tail >= cap) {  // full
-        hdr->dropped.fetch_add(n - pushed, std::memory_order_relaxed);
+        if (count_drops) {
+          hdr->dropped.fetch_add(n - pushed, std::memory_order_relaxed);
+        }
         return pushed;
       }
       if (hdr->head.compare_exchange_weak(head, head + 1,
@@ -180,6 +181,20 @@ uint64_t ingest_push(void* h, const void* frames, uint64_t n) {
     r->seq[slot].store(head + 1, std::memory_order_release);
   }
   return pushed;
+}
+
+uint64_t ingest_push(void* h, const void* frames, uint64_t n) {
+  Ring* r = static_cast<Ring*>(h);
+  return push_impl(r, static_cast<const uint8_t*>(frames), n,
+                   /*count_drops=*/true);
+}
+
+// Like ingest_push but a full ring is NOT counted as drops: the caller
+// intends to retry the rejected tail (blocking producer backpressure).
+uint64_t ingest_try_push(void* h, const void* frames, uint64_t n) {
+  Ring* r = static_cast<Ring*>(h);
+  return push_impl(r, static_cast<const uint8_t*>(frames), n,
+                   /*count_drops=*/false);
 }
 
 // Drain up to max_frames into out (consumer). Returns count drained.

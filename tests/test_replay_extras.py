@@ -108,3 +108,77 @@ def test_dataset_to_replay(tmp_path):
   state = dataset_to_replay(str(tmp_path / "ds"), frames[0], replay,
                             replay.init())
   assert int(state.count) == 8
+
+
+def test_episodic_replay_ids_and_callbacks():
+  from agents_tpu.replay_buffers.episodic_replay import CompletionCallback
+
+  replay = EpisodicReplay(SPEC, batch_size=2, num_slots=8,
+                          max_episode_len=5)
+  state = replay.init()
+  add = jax.jit(lambda s, f: replay.add_batch(s, f, return_completed=True))
+  fired = []
+  cb = CompletionCallback([fired.append])
+
+  # Rows 0,1 open with episode ids 0,1.
+  np.testing.assert_array_equal(
+      np.asarray(state.episode_ids[:2]), [0, 1])
+  state, done_ids = add(state, _frame(2, 0, False))
+  assert cb(done_ids) == 0 and fired == []
+  state, done_ids = add(state, _frame(2, 1, True))
+  assert cb(done_ids) == 2
+  assert fired == [0, 1]
+  # Fresh episodes got ids 2,3.
+  assert int(state.next_episode_id) == 4
+  # Sampled info carries the completed episodes' ids.
+  _, mask, info = replay.sample_episodes(
+      state, jax.random.key(1), 4, return_info=True)
+  ids = np.asarray(info["episode_ids"])
+  assert set(ids).issubset({0, 1})
+  np.testing.assert_array_equal(np.asarray(mask.sum(axis=1)), [2] * 4)
+
+
+def test_episodic_replay_in_progress_sampling():
+  replay = EpisodicReplay(SPEC, batch_size=2, num_slots=8,
+                          max_episode_len=5)
+  state = replay.init()
+  add = jax.jit(replay.add_batch)
+  # 3 frames, nothing completed.
+  for t in range(3):
+    state = add(state, _frame(2, t, False))
+  assert int(state.num_completed) == 0
+  # completed_only=True has nothing to return (all logits masked) —
+  # in-progress sampling sees the open episodes at length 3.
+  eps, mask, info = replay.sample_episodes(
+      state, jax.random.key(0), 4, completed_only=False, return_info=True)
+  np.testing.assert_array_equal(np.asarray(mask.sum(axis=1)), [3] * 4)
+  obs = np.asarray(eps.observation)
+  for i in range(4):
+    np.testing.assert_array_equal(obs[i, :3, 0], np.arange(3))
+  assert set(np.asarray(info["episode_ids"])).issubset({0, 1})
+
+
+def test_episodic_replay_add_sequence():
+  replay = EpisodicReplay(SPEC, batch_size=1, num_slots=4,
+                          max_episode_len=6)
+  state = replay.init()
+  # Build a [T=4, ...] episode directly.
+  T = 4
+  seq = tj.Trajectory(
+      step_type=jnp.asarray([0, 1, 1, 1], jnp.int32),
+      observation=jnp.arange(T * 2, dtype=jnp.float32).reshape(T, 2),
+      action=jnp.arange(T, dtype=jnp.int32),
+      policy_info=(),
+      next_step_type=jnp.asarray([1, 1, 1, 2], jnp.int32),
+      reward=jnp.ones((T,)),
+      discount=jnp.ones((T,)))
+  state = jax.jit(replay.add_sequence)(state, seq)
+  assert int(state.num_completed) == 1
+  eps, mask, info = replay.sample_episodes(
+      state, jax.random.key(0), 2, return_info=True)
+  np.testing.assert_array_equal(np.asarray(mask.sum(axis=1)), [4, 4])
+  obs = np.asarray(eps.observation)
+  np.testing.assert_array_equal(obs[0, :4],
+                                np.arange(8, dtype=np.float32).reshape(4, 2))
+  # add_sequence consumed episode id 1 (row 0 holds id 0).
+  assert set(np.asarray(info["episode_ids"])) == {1}

@@ -120,3 +120,47 @@ def test_actor_with_host_env():
   results = actor.log_metrics()
   assert results["AverageReturn"] == 3.0
   assert results["EnvironmentSteps"] == 9
+
+
+def test_learner_summary_observability(tmp_path):
+  """Learner emits loss, loss extras, collect metrics, and steps/sec under
+  the summary gate (reference train/learner.py:285-292)."""
+  import json
+
+  from agents_tpu.train import JsonlSummaryWriter
+
+  env = BatchedJaxEnv(CartPole(), batch_size=4)
+  tss, asp = env.time_step_spec(), env.action_spec()
+  qnet = networks.make_q_network(tss.observation, asp,
+                                 fc_layer_params=(16,))
+  agent = DqnAgent(tss, asp, qnet, optax.adam(1e-3), gamma=0.99,
+                   td_errors_loss_fn=common.element_wise_squared_loss)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=4,
+                         max_length=256)
+  loop = FusedTrainLoop(env, agent, replay, sample_batch_size=16,
+                        metrics=metrics.standard_collect_metrics(8))
+  state = jax.jit(lambda k: loop.init(k, initial_collect_steps=8))(
+      jax.random.key(0))
+
+  path = str(tmp_path / "summaries.jsonl")
+  learner = Learner(str(tmp_path), loop=loop, initial_state=state,
+                    checkpoint_interval=0,
+                    summary_writer=JsonlSummaryWriter(path),
+                    summary_interval=2,
+                    extra_summary_fn=lambda s: {"staleness": 0.0})
+  for _ in range(4):
+    learner.run(1)
+
+  keys = set()
+  with open(path) as f:
+    for line in f:
+      rec = json.loads(line)
+      keys.update(k for k in rec if k not in ("step", "t"))
+  assert "loss" in keys
+  assert "loss_extra/td_loss" in keys
+  assert "loss_extra/td_error" in keys
+  assert "collect/EnvironmentSteps" in keys
+  assert "collect/NumberOfEpisodes" in keys
+  assert "collect/AverageReturn" in keys
+  assert "steps_per_sec" in keys
+  assert "staleness" in keys
