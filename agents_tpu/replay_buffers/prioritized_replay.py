@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from agents_tpu.specs import array_spec
 
 
 def _chunked_cumsum(flat: jax.Array, chunk: int = 1024) -> jax.Array:
@@ -83,18 +82,21 @@ class PrioritizedReplay:
 
   def __init__(self, data_spec, batch_size: int, max_length: int,
                alpha: float = 0.6, epsilon: float = 1e-6,
-               use_pallas_gather: bool = True):
+               pack_large_rows: bool = True):
+    from agents_tpu.ops.replay_gather import RowPacker
+
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
     self.alpha = float(alpha)
     self.epsilon = float(epsilon)
-    self.use_pallas_gather = use_pallas_gather
+    # Tile-aligned storage for multi-KB leaves: 1.79x faster sampling on
+    # TPU v5e (ops/replay_gather.py docstring).
+    self.packer = RowPacker(data_spec, enabled=pack_large_rows)
 
   # -- lifecycle -----------------------------------------------------------
   def init(self) -> PrioritizedReplayState:
-    storage = array_spec.zero_spec_nest(
-        self.data_spec, outer_dims=(self.capacity, self.batch_size))
+    storage = self.packer.init_storage((self.capacity, self.batch_size))
     return PrioritizedReplayState(
         storage=storage,
         priorities=jnp.zeros((self.capacity, self.batch_size), jnp.float32),
@@ -115,6 +117,7 @@ class PrioritizedReplay:
     """Write one frame per env row (items [B, ...]). New items get the
     running max priority unless `priorities` ([B]) is given."""
     pos = state.count % self.capacity
+    items = self.packer.to_stored(items, outer_ndim=1)
     storage = jax.tree_util.tree_map(
         lambda s, x: s.at[pos].set(x.astype(s.dtype)), state.storage, items)
     if priorities is None:
@@ -204,10 +207,11 @@ class PrioritizedReplay:
 
     def leaf_gather(s):
       fl = s.reshape((self.capacity * self.batch_size,) + s.shape[2:])
-      out = gather_rows(fl, flat_idx, use_pallas=self.use_pallas_gather)
+      out = gather_rows(fl, flat_idx)
       return out.reshape((t_idx.shape[0], n) + s.shape[2:])
 
-    return jax.tree_util.tree_map(leaf_gather, storage)
+    out = jax.tree_util.tree_map(leaf_gather, storage)
+    return self.packer.from_stored(out, outer_ndim=2)
 
   # -- priority maintenance -------------------------------------------------
   def update_priorities(self, state, info: PrioritizedBufferInfo,

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from agents_tpu.specs import array_spec
 
 
 @struct.dataclass
@@ -55,16 +54,20 @@ class UniformReplay:
   """
 
   def __init__(self, data_spec, batch_size: int, max_length: int,
-               use_pallas_gather: bool = True):
+               pack_large_rows: bool = True):
+    from agents_tpu.ops.replay_gather import RowPacker
+
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
-    self.use_pallas_gather = use_pallas_gather
+    # Multi-KB leaves (e.g. Atari frame stacks) are stored tile-aligned
+    # ([r, 128] blocks): measured 1.79x faster to sample on TPU v5e than
+    # the natural layout (ops/replay_gather.py docstring).
+    self.packer = RowPacker(data_spec, enabled=pack_large_rows)
 
   # -- lifecycle -----------------------------------------------------------
   def init(self) -> ReplayState:
-    storage = array_spec.zero_spec_nest(
-        self.data_spec, outer_dims=(self.capacity, self.batch_size))
+    storage = self.packer.init_storage((self.capacity, self.batch_size))
     return ReplayState(storage=storage, count=jnp.zeros((), jnp.int32))
 
   def clear(self, state: ReplayState) -> ReplayState:
@@ -78,6 +81,7 @@ class UniformReplay:
     """Write one frame per env row: items is [B, ...] (reference
     `_add_batch` :182)."""
     row = state.count % self.capacity
+    items = self.packer.to_stored(items, outer_ndim=1)
     storage = jax.tree_util.tree_map(
         lambda s, x: s.at[row].set(x.astype(s.dtype)), state.storage, items)
     return ReplayState(storage=storage, count=state.count + 1)
@@ -118,9 +122,8 @@ class UniformReplay:
     return batch, BufferInfo(ids=t0, rows=rows, probabilities=probs)
 
   def _gather(self, storage, t0, rows, n):
-    """Gather [S, n, ...] windows by flat index. Large rows route through
-    the Pallas DMA-gather kernel (ops/replay_gather.py); small rows use
-    XLA's gather."""
+    """Gather [S, n, ...] windows by flat index. Packed leaves are
+    unpacked back to their natural feature shape after the gather."""
     from agents_tpu.ops.replay_gather import gather_rows
 
     # time indices [S, n]
@@ -129,10 +132,11 @@ class UniformReplay:
 
     def leaf_gather(s):
       flat = s.reshape((self.capacity * self.batch_size,) + s.shape[2:])
-      out = gather_rows(flat, flat_idx, use_pallas=self.use_pallas_gather)
+      out = gather_rows(flat, flat_idx)
       return out.reshape((t_idx.shape[0], n) + s.shape[2:])
 
-    return jax.tree_util.tree_map(leaf_gather, storage)
+    out = jax.tree_util.tree_map(leaf_gather, storage)
+    return self.packer.from_stored(out, outer_ndim=2)
 
   def gather_all(self, state: ReplayState):
     """All frames, batch-major [B, capacity, ...], in insertion order
@@ -146,4 +150,5 @@ class UniformReplay:
       out = jnp.take(s, order, axis=0)          # [capacity, B, ...]
       return jnp.moveaxis(out, 0, 1)            # [B, capacity, ...]
 
-    return jax.tree_util.tree_map(leaf, state.storage)
+    out = jax.tree_util.tree_map(leaf, state.storage)
+    return self.packer.from_stored(out, outer_ndim=2)

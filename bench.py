@@ -10,9 +10,12 @@ reach CartPole average return >= 195 (solved) or value is reported as 0 —
 throughput without learning doesn't count.
 
 vs_baseline: ratio to TF-Agents' classic in-graph CPU train_eval
-throughput on this config, ~120 env-steps/s (TFPyEnvironment +
-DynamicStepDriver + train; no in-repo published steps/s exists —
-BASELINE.md records returns only). Driver target: >= 10x per chip.
+throughput on this config, MEASURED on this host at 362 env-steps/s
+(best of two runs, 337-362; benchmark/ref_dqn_baseline.py runs the
+reference code itself — TFPyEnvironment + DynamicStepDriver +
+agent.train — at the train_eval.py:94-127 operating point with
+checkpoints/summaries off, i.e. an upper bound on the reference).
+Driver target: >= 10x per chip.
 
 Design notes: the axon TPU tunnel has multi-minute latency spikes on
 compiles and eager host transfers, so this bench uses exactly two device
@@ -29,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TF_AGENTS_CPU_ENV_STEPS_PER_S = 120.0
+# Measured via benchmark/ref_dqn_baseline.py (see module docstring).
+TF_AGENTS_CPU_ENV_STEPS_PER_S = 362.0
 
 
 def main():

@@ -20,8 +20,7 @@ def _frame(v, b):
 
 
 def test_sampling_proportional_to_priority():
-  rb = PrioritizedReplay(_spec(), batch_size=1, max_length=8, alpha=1.0,
-                         use_pallas_gather=False)
+  rb = PrioritizedReplay(_spec(), batch_size=1, max_length=8, alpha=1.0)
   st = rb.init()
   # 4 items with priorities 1, 1, 1, 5 (update after insert).
   for i in range(4):
@@ -83,8 +82,7 @@ def test_duplicate_updates_max_combine():
 
 
 def test_window_validity_and_wraparound():
-  rb = PrioritizedReplay(_spec(), batch_size=2, max_length=4, alpha=0.0,
-                         use_pallas_gather=False)
+  rb = PrioritizedReplay(_spec(), batch_size=2, max_length=4, alpha=0.0)
   st = rb.init()
   for i in range(6):  # count=6, size=4: valid ids 2..5
     st = rb.add_batch(st, _frame(i, 2))
@@ -131,7 +129,7 @@ def test_per_dqn_train_step_end_to_end():
                    gamma=0.99,
                    td_errors_loss_fn=common.element_wise_squared_loss)
   rb = PrioritizedReplay(tj.trajectory_spec(tss, asp), batch_size=B,
-                         max_length=64, use_pallas_gather=False)
+                         max_length=64)
 
   @jax.jit
   def fill_and_train(key):
@@ -187,7 +185,7 @@ def test_fused_loop_with_prioritized_replay_learns():
                    gamma=0.99,
                    td_errors_loss_fn=common.element_wise_squared_loss)
   rb = PrioritizedReplay(tj.trajectory_spec(tss, asp), batch_size=B,
-                         max_length=256, use_pallas_gather=False)
+                         max_length=256)
   loop = FusedTrainLoop(env, agent, rb,
                         metrics=metrics.standard_collect_metrics(20),
                         collect_steps_per_iteration=1,
