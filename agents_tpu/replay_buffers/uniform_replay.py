@@ -60,6 +60,7 @@ class UniformReplay:
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
+    self.pack_large_rows = bool(pack_large_rows)
     # Multi-KB leaves (e.g. Atari frame stacks) are stored tile-aligned
     # ([r, 128] blocks): measured 1.79x faster to sample on TPU v5e than
     # the natural layout (ops/replay_gather.py docstring).
@@ -137,6 +138,57 @@ class UniformReplay:
 
     out = jax.tree_util.tree_map(leaf_gather, storage)
     return self.packer.from_stored(out, outer_ndim=2)
+
+  def sample_sharded(self, state: ReplayState, key, sample_batch_size: int,
+                     mesh, num_steps: Optional[int] = None,
+                     axis_name: str = "data"):
+    """Shard-local uniform sample over a mesh-sharded buffer.
+
+    With storage sharded P(None, '<axis>') on the env-row axis, a plain
+    `sample` makes GSPMD ALL-GATHER the entire storage every iteration
+    (measured: every [capacity, B] leaf moves, each step). This method
+    instead samples S/n windows per shard from that shard's own rows
+    via shard_map — gathers stay device-local, the returned batch is
+    sharded P('<axis>'), and zero replay bytes cross the interconnect.
+
+    Statistically identical to `sample` for uniform row choice: row ids
+    stratified by shard (S/n each) instead of iid over B — each item's
+    inclusion probability is unchanged.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    if self.batch_size % n or sample_batch_size % n:
+      raise ValueError(
+          f"batch_size {self.batch_size} and sample_batch_size "
+          f"{sample_batch_size} must divide the '{axis_name}' axis size {n}")
+    b_local = self.batch_size // n
+    local_rb = UniformReplay(self.data_spec, b_local, self.capacity,
+                             pack_large_rows=self.pack_large_rows)
+
+    def local_sample(storage, count, k):
+      i = jax.lax.axis_index(axis_name)
+      batch, info = local_rb.sample(
+          ReplayState(storage=storage, count=count[0]),
+          jax.random.fold_in(k[0], i), sample_batch_size // n, num_steps)
+      info = BufferInfo(ids=info.ids, rows=info.rows + i * b_local,
+                        probabilities=info.probabilities / n)
+      return batch, info
+
+    storage_specs = jax.tree_util.tree_map(lambda _: P(None, axis_name),
+                                           state.storage)
+    out_specs = (jax.tree_util.tree_map(lambda _: P(axis_name),
+                                        state.storage),
+                 BufferInfo(ids=P(axis_name), rows=P(axis_name),
+                            probabilities=P(axis_name)))
+    # count/key ride a size-1 leading axis so shard_map can replicate
+    # them without rep-checking custom PRNG types.
+    return shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(storage_specs, P(), P()),
+        out_specs=out_specs, check_rep=False)(
+            state.storage, state.count[None], key[None])
 
   def gather_all(self, state: ReplayState):
     """All frames, batch-major [B, capacity, ...], in insertion order

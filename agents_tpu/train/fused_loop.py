@@ -56,7 +56,8 @@ class FusedTrainLoop:
                collect_steps_per_iteration: int = 1,
                sample_batch_size: int = 64,
                train_steps_per_iteration: int = 1,
-               per_beta: float = 0.4):
+               per_beta: float = 0.4,
+               mesh=None, data_axis: str = "data"):
     self.env = env
     self.agent = agent
     self.replay = replay
@@ -64,6 +65,13 @@ class FusedTrainLoop:
     self.collect_steps = collect_steps_per_iteration
     self.sample_batch_size = sample_batch_size
     self.train_steps = train_steps_per_iteration
+    # Multi-device: with replay storage sharded P(None, data_axis) (see
+    # parallel.shard_loop_state), plain global sampling makes GSPMD
+    # all-gather the WHOLE buffer every iteration. Passing the mesh
+    # routes sampling through replay.sample_sharded (shard-local
+    # gathers, batch stays sharded on data_axis).
+    self.mesh = mesh
+    self.data_axis = data_axis
     # Prioritized replay plugs in transparently: IS weights feed
     # agent.train and TD errors flow back as new priorities.
     self.prioritized = hasattr(replay, "update_priorities")
@@ -139,9 +147,15 @@ class FusedTrainLoop:
           replay_state = self.replay.update_priorities(
               replay_state, info, td)
       else:
-        experience, _ = self.replay.sample(
-            replay_state, k, self.sample_batch_size,
-            num_steps=self.agent.train_sequence_length)
+        if self.mesh is not None:
+          experience, _ = self.replay.sample_sharded(
+              replay_state, k, self.sample_batch_size, self.mesh,
+              num_steps=self.agent.train_sequence_length,
+              axis_name=self.data_axis)
+        else:
+          experience, _ = self.replay.sample(
+              replay_state, k, self.sample_batch_size,
+              num_steps=self.agent.train_sequence_length)
         agent_state, loss_info = self.agent.train(agent_state, experience)
       return (agent_state, replay_state), loss_info
 

@@ -36,6 +36,12 @@ class Config:
   target_update_tau: float = 0.005
   reward_scale_factor: float = 0.1
   progress_every_ticks: int = 1000
+  # Greedy-policy eval, the reference protocol (sac_train_eval.py:204,344:
+  # 30 episodes, eval_interval 10000; we eval every `eval_every_ticks`
+  # env-batch ticks = 256k env steps, plus once at the end).
+  num_eval_episodes: int = 30
+  num_eval_envs: int = 10
+  eval_every_ticks: int = 8000
   seed: int = 0
 
 
@@ -82,22 +88,49 @@ def train_eval(cfg: Config):
                   py_metrics.EnvironmentSteps(),
                   py_metrics.NumberOfEpisodes()])
 
+  from agents_tpu.eval import metric_utils
+  from agents_tpu.policies.jitted_py_policy import JittedPyPolicy
+
+  eval_env = BatchedPyEnvironment(
+      [suite_gym.load(cfg.env_name) for _ in range(cfg.num_eval_envs)])
+  eval_policy = JittedPyPolicy(agent.policy)
+
+  def run_eval(agent_state) -> float:
+    eval_policy.update_params(agent.policy_params(agent_state))
+    res = metric_utils.compute(
+        [py_metrics.AverageReturnMetric(cfg.num_eval_episodes)],
+        eval_env, eval_policy, num_episodes=cfg.num_eval_episodes)
+    return float(res["AverageReturn"])
+
   writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "train.jsonl"))
   t0 = time.time()
+  ticks_seen = [0]
 
   def progress(l):
     ret = l.py_metrics[0].result()
     sps = l._env_steps / (time.time() - t0)
-    print(f"env_steps={l._env_steps} train_steps={l._train_steps} "
-          f"AverageReturn={ret:.0f} ({sps:.0f} env-steps/s)", flush=True)
+    line = (f"env_steps={l._env_steps} train_steps={l._train_steps} "
+            f"AverageReturn={ret:.0f} ({sps:.0f} env-steps/s)")
     writer.scalar("AverageReturn", ret, l._env_steps)
     writer.scalar("train_steps", l._train_steps, l._env_steps)
+    ticks_seen[0] += cfg.progress_every_ticks
+    if cfg.eval_every_ticks and ticks_seen[0] % cfg.eval_every_ticks == 0:
+      eval_ret = run_eval(l._agent_state)
+      writer.scalar("EvalAverageReturn", eval_ret, l._env_steps)
+      line += f" EvalAverageReturn={eval_ret:.0f}"
+    print(line, flush=True)
 
   out = loop.run(
       total_env_batch_steps=cfg.total_env_steps // cfg.env_batch_size,
       seed=cfg.seed,
       initial_random_steps=cfg.initial_collect_ticks,
       progress_fn=progress, progress_every=cfg.progress_every_ticks)
+
+  final_eval = run_eval(out["agent_state"])
+  writer.scalar("EvalAverageReturn", final_eval, out["env_steps"])
+  print(f"final greedy eval ({cfg.num_eval_episodes} episodes): "
+        f"{final_eval:.0f}", flush=True)
+  out["eval_average_return"] = final_eval
 
   saver = PolicySaver(agent.policy, train_step=out["train_steps"])
   saver.save(os.path.join(cfg.root_dir, "policies", "greedy_policy"),
@@ -116,4 +149,5 @@ if __name__ == "__main__":
       "env_steps": out["env_steps"], "train_steps": out["train_steps"],
       "wall_s": round(out["wall_s"], 1),
       "final_average_return": out["metrics"]["AverageReturn"],
+      "eval_average_return": out["eval_average_return"],
   }))

@@ -112,3 +112,49 @@ def test_bandit_psum_axis(monkeypatch):
                              np.asarray(ref_state.a_mat), rtol=1e-5)
   np.testing.assert_allclose(np.asarray(dp_state.b_vec),
                              np.asarray(ref_state.b_vec), rtol=1e-5)
+
+
+def test_sample_sharded_matches_uniform_semantics():
+  """Shard-local sampling: payload integrity, full row coverage, and
+  uniform inclusion probabilities (stratified by shard)."""
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from agents_tpu import specs
+  from agents_tpu.trajectories import time_step as ts
+
+  B, CAP, S = 8, 16, 512
+  spec = {"obs": specs.ArraySpec((3,), np.float32),
+          "tag": specs.ArraySpec((), np.int32)}
+  rb = UniformReplay(spec, batch_size=B, max_length=CAP)
+  state = rb.init()
+  for t in range(10):
+    item = {"obs": jnp.stack([jnp.full((3,), 100 * r + t, jnp.float32)
+                              for r in range(B)]),
+            "tag": jnp.arange(B, dtype=jnp.int32) * 100 + t}
+    state = rb.add_batch(state, item)
+
+  mesh = create_mesh(4)
+  storage = jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, NamedSharding(mesh, P(None, "data"))),
+      state.storage)
+  state = state.replace(storage=storage)
+
+  batch, info = jax.jit(
+      lambda s, k: rb.sample_sharded(s, k, S, mesh))(state, jax.random.key(3))
+  rows, ids = np.asarray(info.rows), np.asarray(info.ids)
+  tags = np.asarray(batch["tag"])
+  obs = np.asarray(batch["obs"])
+
+  # Payload == (row, time) identity for every sample.
+  np.testing.assert_array_equal(tags, rows * 100 + ids)
+  np.testing.assert_array_equal(obs[:, 0], (rows * 100 + ids).astype(np.float32))
+  # Stratified: exactly S/4 samples from each shard's row block.
+  for shard in range(4):
+    in_shard = (rows // 2) == shard
+    assert in_shard.sum() == S // 4
+  # All rows and all valid time ids appear (coverage).
+  assert set(rows) == set(range(B))
+  assert set(ids) == set(range(10))
+  # Inclusion probability 1/(valid*B), like plain `sample`.
+  np.testing.assert_allclose(np.asarray(info.probabilities),
+                             1.0 / (10 * B), rtol=1e-6)
