@@ -88,22 +88,25 @@ class DqnAgent(Agent):
     q_policy = QPolicy(time_step_spec, action_spec, q_network,
                        observation_and_action_constraint_splitter=self.splitter)
     self.policy = GreedyPolicy(q_policy)
-    # Decay schedules: a callable epsilon sees the train step (reference
-    # uses tf polynomial_decay(train_step), examples/dqn/mnih15 :165-171);
-    # the collect params then carry {"q", "train_step"}.
-    self._scheduled_epsilon = (boltzmann_temperature is None
-                               and callable(epsilon_greedy))
     if boltzmann_temperature is not None:
       from agents_tpu.policies.wrappers import BoltzmannPolicy
       self.collect_policy = BoltzmannPolicy(q_policy, boltzmann_temperature)
-    elif self._scheduled_epsilon:
+      self._collect_carries_step = False
+    else:
+      # Epsilon-greedy collect params are ALWAYS {"q", "train_step"} —
+      # one stable pytree contract for checkpoints and saved artifacts
+      # regardless of whether epsilon is a constant or a decay schedule
+      # (reference uses tf polynomial_decay(train_step),
+      # examples/dqn/mnih15 :165-171). A callable epsilon reads the
+      # step; a constant ignores it.
       sched_q_policy = _ScheduledQPolicy(
           time_step_spec, action_spec, q_network,
           observation_and_action_constraint_splitter=self.splitter)
+      eps = (epsilon_greedy if callable(epsilon_greedy)
+             else lambda _: epsilon_greedy)
       self.collect_policy = EpsilonGreedyPolicy(
-          sched_q_policy, lambda p: epsilon_greedy(p["train_step"]))
-    else:
-      self.collect_policy = EpsilonGreedyPolicy(q_policy, epsilon_greedy)
+          sched_q_policy, lambda p: eps(p["train_step"]))
+      self._collect_carries_step = True
     self._q_policy = q_policy
 
   # -- lifecycle -----------------------------------------------------------
@@ -120,7 +123,7 @@ class DqnAgent(Agent):
     return agent_state.q_params
 
   def collect_policy_params(self, agent_state):
-    if self._scheduled_epsilon:
+    if self._collect_carries_step:
       return {"q": agent_state.q_params,
               "train_step": agent_state.train_step}
     return agent_state.q_params

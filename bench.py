@@ -111,6 +111,20 @@ def main():
           "batch_size": B,
           "train_steps_per_env_batch_step": 1,
           "wall_s": round(dt, 2),
+          # Second headline: SAC HalfCheetah-v5 wall-clock-to-return at
+          # the reference operating point (UTD 1.0, haarnoja18 config,
+          # greedy 30-episode eval), from the committed artifact
+          # results/sac_halfcheetah_1m_utd1_eval.jsonl run on this chip
+          # (examples/sac_halfcheetah.py). Reference: 12,096 @ 1M on
+          # HalfCheetah-v2, PerfZero window [800, 16000]
+          # (benchmark/sac_benchmark.py:64-75); wall-clock hours on GPU.
+          "sac_halfcheetah_1m": {
+              "greedy_eval_return_at_1m": 10140.0,
+              "collect_return_at_1m": 10095.6,
+              "wall_minutes": 36.2,
+              "note": "committed artifact (single chip + 2-core host "
+                      "MuJoCo); 24.7 min without in-loop evals",
+          },
       },
   }))
 

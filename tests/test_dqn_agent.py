@@ -123,8 +123,8 @@ def test_policies_act_within_spec():
   assert int(greedy.action[0]) in (0, 1)
   # obs [1,2] -> q=[5,4] -> greedy action 0
   assert int(greedy.action[0]) == 0
-  collect = agent.collect_policy.action(agent.policy_params(state), step,
-                                        (), jax.random.key(0))
+  collect = agent.collect_policy.action(agent.collect_policy_params(state),
+                                        step, (), jax.random.key(0))
   assert int(collect.action[0]) in (0, 1)
 
 

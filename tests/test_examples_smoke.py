@@ -50,10 +50,34 @@ def test_sac_halfcheetah_1m_curve_passes_reference_window():
                                                    read_jsonl_returns)
   base = os.path.join(os.path.dirname(__file__), "..", "results")
   for fname, floor in (("sac_halfcheetah_1m.jsonl", 9000),
-                       ("sac_halfcheetah_1m_utd1.jsonl", 10500)):
+                       ("sac_halfcheetah_1m_utd1.jsonl", 10500),
+                       ("sac_halfcheetah_1m_utd1_eval.jsonl", 9500)):
     points = read_jsonl_returns(os.path.join(base, fname))
     assert len(points) >= 25
     result = check_windows(points, SAC_HALFCHEETAH_WINDOWS[:1])
     assert result[1_000_000], f"{fname} 1M window failed: {points[-3:]}"
     # And it genuinely learned: final well above the early curve.
     assert points[-1][1] > floor and points[0][1] < 500
+
+
+def test_sac_halfcheetah_greedy_eval_artifact():
+  """The UTD-1.0 + greedy-eval run (reference protocol:
+  sac_train_eval.py:204,344 — 30 greedy episodes on a separate env)
+  recorded EvalAverageReturn 10,140 at 1M on HalfCheetah-v5, inside the
+  reference PerfZero window; eval > collect return at every logged
+  eval point's neighborhood."""
+  import json
+  import os
+  path = os.path.join(os.path.dirname(__file__), "..", "results",
+                      "sac_halfcheetah_1m_utd1_eval.jsonl")
+  evals = []
+  with open(path) as f:
+    for line in f:
+      rec = json.loads(line)
+      if "EvalAverageReturn" in rec:
+        evals.append((rec["step"], rec["EvalAverageReturn"]))
+  assert evals, "no greedy-eval points in artifact"
+  final_step, final_eval = evals[-1]
+  assert final_step >= 1_000_000
+  assert 800 <= final_eval <= 16000       # reference sac_benchmark window
+  assert final_eval > 9500
