@@ -67,6 +67,11 @@ def main():
   parser.add_argument("--total_ticks", type=int, default=0,
                       help="env batch steps to run (0 = forever)")
   parser.add_argument("--policy_poll_ticks", type=int, default=64)
+  parser.add_argument("--weights_shm", default="",
+                      help="shm variable-container name published by the "
+                      "train job (train/variable_container.py); when set, "
+                      "weights come from shared memory (microseconds) "
+                      "instead of policy-file polling")
   parser.add_argument("--random_ticks", type=int, default=32,
                       help="ticks of uniform-random actions before the "
                       "first policy export arrives")
@@ -101,8 +106,27 @@ def main():
   rng = np.random.RandomState(args.seed)
   last_step = -1
 
+  weights_vc = None
+
   def maybe_refresh_policy():
-    nonlocal last_step
+    nonlocal last_step, weights_vc
+    if args.weights_shm:
+      # Fast path: newest snapshot from the learner's shm container.
+      from agents_tpu.train.variable_container import VariableContainer
+      if weights_vc is None:
+        try:
+          weights_vc = VariableContainer(
+              args.weights_shm, py_policy.params, create=False)
+        except OSError:
+          return False              # learner hasn't created it yet
+      out = weights_vc.pull()
+      if out is None:
+        return False
+      params, step = out
+      if step != last_step:
+        py_policy.update_params(params)
+        last_step = step
+      return True
     manifest_path = os.path.join(policy_dir, "policy_manifest.json")
     if not os.path.exists(manifest_path):
       return False

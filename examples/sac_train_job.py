@@ -49,6 +49,10 @@ def main():
                       default=0.0, help="ratio slack in samples; 0 = auto")
   parser.add_argument("--total_train_steps", type=int, default=10000)
   parser.add_argument("--export_interval_steps", type=int, default=200)
+  parser.add_argument("--weights_shm", default="",
+                      help="also publish collect-policy weights to this "
+                      "shm variable container every export interval "
+                      "(collectors pass the same name)")
   parser.add_argument("--log_interval_steps", type=int, default=400)
   parser.add_argument("--seed", type=int, default=0)
   parser.add_argument("--smoke", action="store_true")
@@ -84,13 +88,17 @@ def main():
     # Actors force JAX_PLATFORMS=cpu internally, so they never contend
     # for this process's device.
     for n in ring_names:
-      collectors.append(subprocess.Popen([
+      cmd = [
           sys.executable,
           os.path.join(os.path.dirname(__file__), "sac_collect_job.py"),
           f"--root_dir={args.root_dir}", f"--ring={n}",
           f"--env_name={args.env_name}", "--env_batch_size=4",
           "--total_ticks=0", "--random_ticks=8",
-      ]))
+          "--policy_poll_ticks=16",
+      ]
+      if args.weights_shm:
+        cmd.append(f"--weights_shm={args.weights_shm}")
+      collectors.append(subprocess.Popen(cmd))
 
   replay = UniformReplay(pair_spec, batch_size=args.replay_rows,
                          max_length=args.replay_max_length)
@@ -113,6 +121,17 @@ def main():
   export_dir = os.path.join(args.root_dir, "policies", "collect_policy")
   greedy_dir = os.path.join(args.root_dir, "policies", "greedy_policy")
   greedy_saver = PolicySaver(agent.policy)
+
+  weights_vc = None
+  if args.weights_shm:
+    from agents_tpu.train.variable_container import VariableContainer
+    weights_vc = VariableContainer(
+        args.weights_shm, agent.collect_policy_params(agent_state),
+        create=True)
+    # Publish the init weights immediately so collectors switch off the
+    # random policy without waiting for the first export interval.
+    weights_vc.push(
+        jax.device_get(agent.collect_policy_params(agent_state)), 0)
 
   # Host-side staging FIFO: drained frames accumulate here and flush to
   # the device replay in fixed [replay_rows, 2, ...] blocks (static
@@ -200,6 +219,10 @@ def main():
       saver.save(export_dir, agent.collect_policy_params(agent_state))
       greedy_saver.train_step = train_steps
       greedy_saver.save(greedy_dir, agent.policy_params(agent_state))
+      if weights_vc is not None:
+        weights_vc.push(
+            jax.device_get(agent.collect_policy_params(agent_state)),
+            train_steps)
       last_export = train_steps
     if train_steps % args.log_interval_steps < args.train_steps_per_call:
       print(json.dumps({
@@ -216,6 +239,9 @@ def main():
     p.wait(timeout=10)
   for s in servers:
     s.close()
+  if weights_vc is not None:
+    weights_vc.close()
+    weights_vc.unlink()
   print(json.dumps({"job": "train", "done": True,
                     "train_steps": train_steps,
                     "items_ingested": int(total_items),
