@@ -29,6 +29,11 @@ class Config:
   actor_fc_layers: tuple = (64, 64)
   value_fc_layers: tuple = (64, 64)
   log_interval: int = 5
+  # Greedy-eval protocol (reference eval: 30 episodes, greedy policy).
+  num_eval_episodes: int = 30
+  num_eval_envs: int = 10
+  eval_every_iterations: int = 50
+  seed: int = 0
 
 
 def train_eval(cfg: Config):
@@ -41,18 +46,29 @@ def train_eval(cfg: Config):
   from agents_tpu.environments import suite_gym
   from agents_tpu.environments.batched_py_environment import (
       BatchedPyEnvironment,)
+  import flax.linen as nn
+
+  from agents_tpu.eval import metric_utils
   from agents_tpu.metrics import py_metrics
+  from agents_tpu.policies.jitted_py_policy import JittedPyPolicy
   from agents_tpu.train import HostOnPolicyTrainLoop, JsonlSummaryWriter
 
   env = BatchedPyEnvironment(
       [suite_gym.load(cfg.env_name) for _ in range(cfg.env_batch_size)])
   tss, asp = env.time_step_spec(), env.action_spec()
+  # schulman17 operating point (train_eval_lib.py:90-201): tanh MLPs,
+  # Adam eps 1e-5, learning rate linearly decayed to 0 over training.
+  lr_schedule = optax.linear_schedule(
+      cfg.learning_rate, 0.0,
+      cfg.num_iterations * cfg.num_epochs * cfg.num_minibatches)
   agent = PPOClipAgent(
-      tss, asp, optax.adam(cfg.learning_rate),
+      tss, asp, optax.adam(lr_schedule, eps=1e-5),
       networks.make_actor_distribution_network(
-          tss.observation, asp, fc_layer_params=cfg.actor_fc_layers),
+          tss.observation, asp, fc_layer_params=cfg.actor_fc_layers,
+          activation=nn.tanh),
       networks.make_value_network(tss.observation,
-                                  fc_layer_params=cfg.value_fc_layers),
+                                  fc_layer_params=cfg.value_fc_layers,
+                                  activation=nn.tanh),
       importance_ratio_clipping=cfg.importance_ratio_clipping,
       discount_factor=cfg.discount_factor,
       lambda_value=cfg.lambda_value, num_epochs=cfg.num_epochs,
@@ -62,9 +78,20 @@ def train_eval(cfg: Config):
       env, agent, rollout_length=cfg.rollout_length,
       py_metrics=[py_metrics.AverageReturnMetric(20),
                   py_metrics.EnvironmentSteps()])
+  eval_env = BatchedPyEnvironment(
+      [suite_gym.load(cfg.env_name) for _ in range(cfg.num_eval_envs)])
+  eval_policy = JittedPyPolicy(agent.policy)
+
+  def run_eval(agent_state) -> float:
+    eval_policy.update_params(agent.policy_params(agent_state))
+    res = metric_utils.compute(
+        [py_metrics.AverageReturnMetric(cfg.num_eval_episodes)],
+        eval_env, eval_policy, num_episodes=cfg.num_eval_episodes)
+    return float(res["AverageReturn"])
+
   writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "train.jsonl"))
-  agent_state, time_step = loop.init(0)
-  key = jax.random.key(1)
+  agent_state, time_step = loop.init(cfg.seed)
+  key = jax.random.key(cfg.seed + 1)
   t0 = time.time()
   ret = 0.0
   for it in range(1, cfg.num_iterations + 1):
@@ -78,7 +105,16 @@ def train_eval(cfg: Config):
             f"loss={float(info.loss):.3f} "
             f"({steps/(time.time()-t0):.0f} env-steps/s)", flush=True)
       writer.scalar("AverageReturn", ret, steps)
-  return ret
+    if cfg.eval_every_iterations and it % cfg.eval_every_iterations == 0:
+      eval_ret = run_eval(agent_state)
+      steps = loop.metric_results()["EnvironmentSteps"]
+      writer.scalar("EvalAverageReturn", eval_ret, steps)
+      print(f"iter {it}: EvalAverageReturn={eval_ret:.0f}", flush=True)
+  final_eval = run_eval(agent_state)
+  steps = loop.metric_results()["EnvironmentSteps"]
+  writer.scalar("EvalAverageReturn", final_eval, steps)
+  return {"collect_return": ret, "eval_average_return": final_eval,
+          "env_steps": int(steps), "wall_s": time.time() - t0}
 
 
 if __name__ == "__main__":
@@ -87,5 +123,5 @@ if __name__ == "__main__":
   cfg = config_lib.parse_flags(Config())
   os.makedirs(cfg.root_dir, exist_ok=True)
   config_lib.save(cfg, os.path.join(cfg.root_dir, "config.json"))
-  final = train_eval(cfg)
-  print(json.dumps({"final_average_return": final}))
+  out = train_eval(cfg)
+  print(json.dumps(out))
