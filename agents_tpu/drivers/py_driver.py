@@ -46,9 +46,15 @@ class PyDriver:
       for observer in self.observers:
         observer(traj)
 
-      # Boundary-aware counting (reference :128-142).
+      # Boundary-aware counting (reference :128-142):
+      # end_episode_on_boundary=True (trajectory observers, the default)
+      # counts the boundary frame; False (transition observers) counts
+      # the terminal frame.
       is_boundary = np.asarray(traj.is_boundary())
-      num_episodes += np.sum(np.asarray(traj.is_last()))
+      if self.end_episode_on_boundary:
+        num_episodes += np.sum(is_boundary)
+      else:
+        num_episodes += np.sum(np.asarray(traj.is_last()))
       num_steps += np.sum(~is_boundary)
 
       time_step = next_time_step

@@ -161,6 +161,11 @@ class ParallelPyEnvironment(PyEnvironment):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *steps)
 
   def _reset(self):
+    # blocking=True steps workers serially (reference
+    # parallel_py_environment.py:128 semantics: easier debugging,
+    # deterministic interleaving); False overlaps them via promises.
+    if self._blocking:
+      return self._stack([p.reset(blocking=True) for p in self._procs])
     promises = [p.reset(blocking=False) for p in self._procs]
     return self._stack([pr() for pr in promises])
 
@@ -170,6 +175,9 @@ class ParallelPyEnvironment(PyEnvironment):
         jax.tree_util.tree_map(lambda x: np.asarray(x)[i], actions)
         for i in range(len(self._procs))
     ]
+    if self._blocking:
+      return self._stack([p.step(a, blocking=True)
+                          for p, a in zip(self._procs, unstacked)])
     promises = [
         p.step(a, blocking=False)
         for p, a in zip(self._procs, unstacked)

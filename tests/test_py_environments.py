@@ -156,3 +156,22 @@ def test_py_driver_with_metrics():
   assert m_ret.result() == 3.0
   assert m_len.result() == 3.0
   assert m_steps.result() == 12
+
+
+def test_parallel_env_blocking_mode():
+  """blocking=True must step workers serially and produce identical
+  results to the promise-overlapped default."""
+  from agents_tpu.environments.parallel_py_environment import (
+      ParallelPyEnvironment)
+  from agents_tpu.environments.test_envs import CountingPyEnv
+
+  envs = ParallelPyEnvironment([lambda: CountingPyEnv(steps_per_episode=3)
+                                for _ in range(2)], blocking=True)
+  try:
+    ts0 = envs.reset()
+    assert ts0.observation.shape[0] == 2
+    ts1 = envs.step(np.zeros((2,), np.int32))
+    np.testing.assert_array_equal(ts1.observation,
+                                  ts0.observation + 1)
+  finally:
+    envs.close()
