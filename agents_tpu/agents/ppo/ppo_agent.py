@@ -67,6 +67,7 @@ class PPOAgent(Agent):
                lambda_value: float = 0.95,
                num_epochs: int = 10,
                num_minibatches: int = 1,
+               num_minibatch_shards: int = 1,
                entropy_regularization: float = 0.0,
                value_pred_loss_coef: float = 0.5,
                use_gae: bool = True,
@@ -92,6 +93,14 @@ class PPOAgent(Agent):
     self.lambda_value = lambda_value
     self.num_epochs = num_epochs
     self.num_minibatches = num_minibatches
+    # DP meshes: a global B*T permutation makes GSPMD all-gather the
+    # whole rollout every epoch. With num_minibatch_shards = the 'data'
+    # axis size, shuffling is per-shard (batched take_along_axis — the
+    # operand/indices share the sharded batch dim, which the partitioner
+    # handles with zero collectives) and every minibatch draws equally
+    # from every shard — the standard per-worker minibatching of
+    # distributed PPO.
+    self.num_minibatch_shards = num_minibatch_shards
     self.entropy_regularization = entropy_regularization
     self.value_pred_loss_coef = value_pred_loss_coef
     self.use_gae = use_gae
@@ -312,10 +321,31 @@ class PPOAgent(Agent):
     flat_batch = (obs, step_type, actions, old_dist, old_values, returns,
                   advantages, old_log_prob, mask)
 
+    n_sh = self.num_minibatch_shards
+    if n_sh > 1 and (n_items % n_sh or
+                     (n_items // n_sh) % max(n_mb, 1)):
+      raise ValueError(
+          f"items {n_items} not divisible by num_minibatch_shards {n_sh} "
+          f"x num_minibatches {n_mb}")
+
     def epoch_body(carry, epoch_key):
       params, opt_state = carry
-      perm = jax.random.permutation(epoch_key, n_items)
-      shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat_batch)
+      if n_sh > 1:
+        # Shard-local shuffle: [n_sh, per] batched gather along axis 1.
+        per = n_items // n_sh
+        local = jax.vmap(
+            lambda k: jax.random.permutation(k, per))(
+                jax.random.split(epoch_key, n_sh))        # [n_sh, per]
+
+        def shard_shuffle(x):
+          blocked = x.reshape((n_sh, per) + x.shape[1:])
+          idx = local.reshape((n_sh, per) + (1,) * (blocked.ndim - 2))
+          return jnp.take_along_axis(blocked, idx, axis=1)
+
+        shuffled = jax.tree_util.tree_map(shard_shuffle, flat_batch)
+      else:
+        perm = jax.random.permutation(epoch_key, n_items)
+        shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat_batch)
 
       def mb_body(carry, mb):
         params, opt_state = carry
@@ -327,7 +357,27 @@ class PPOAgent(Agent):
         params = optax.apply_updates(params, updates)
         return (params, opt_state), (loss, extra, mean_kl)
 
-      if n_mb > 1:
+      if n_sh > 1:
+        per = n_items // n_sh
+        if n_mb > 1:
+          k_ = per // n_mb
+
+          def to_mbs(x):
+            # [n_sh, per, ...] -> [n_mb, n_sh*k_, ...]: minibatch m takes
+            # k_ items from EVERY shard (stratified), staying sharded.
+            y = x.reshape((n_sh, n_mb, k_) + x.shape[2:])
+            y = jnp.moveaxis(y, 1, 0)
+            return y.reshape((n_mb, n_sh * k_) + x.shape[2:])
+
+          mbs = jax.tree_util.tree_map(to_mbs, shuffled)
+          (params, opt_state), outs = jax.lax.scan(
+              mb_body, (params, opt_state), mbs)
+          outs = jax.tree_util.tree_map(lambda x: x[-1], outs)
+        else:
+          flat = jax.tree_util.tree_map(
+              lambda x: x.reshape((n_items,) + x.shape[2:]), shuffled)
+          (params, opt_state), outs = mb_body((params, opt_state), flat)
+      elif n_mb > 1:
         mbs = jax.tree_util.tree_map(
             lambda x: x.reshape((n_mb, n_items // n_mb) + x.shape[1:]),
             shuffled)

@@ -108,3 +108,51 @@ def test_sharded_iteration_has_no_storage_allgather():
       if elems >= CAP * B // 8:       # one shard of one storage leaf
         offenders.append(line.strip()[:120])
   assert not offenders, offenders
+
+
+def test_sharded_on_policy_iteration_collectives_bounded():
+  """The DP on-policy (PPO) iteration must move only gradient-sized
+  data: no all-gathers, all-reduces bounded by parameter count."""
+  import re
+
+  import optax
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from agents_tpu.agents.ppo import PPOClipAgent
+  from agents_tpu.train import OnPolicyTrainLoop
+
+  B, T = 64, 16
+  env = BatchedJaxEnv(CartPole(), batch_size=B)
+  tss, asp = env.time_step_spec(), env.action_spec()
+  agent = PPOClipAgent(
+      tss, asp, optax.adam(3e-4),
+      networks.make_actor_distribution_network(tss.observation, asp,
+                                               fc_layer_params=(64, 64)),
+      networks.make_value_network(tss.observation, fc_layer_params=(64, 64)),
+      num_epochs=2, num_minibatches=4, num_minibatch_shards=8)
+  loop = OnPolicyTrainLoop(env, agent, rollout_length=T)
+  state = loop.init(jax.random.key(0))
+  mesh = create_mesh(8)
+
+  def place(x):
+    if hasattr(x, "shape") and len(x.shape) >= 1 and x.shape[0] == B:
+      return jax.device_put(x, NamedSharding(mesh, P("data")))
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+  state = jax.tree_util.tree_map(place, state)
+  hlo = jax.jit(loop.iteration).lower(state).compile().as_text()
+  n_params = sum(int(np.prod(np.shape(p))) for p in
+                 jax.tree_util.tree_leaves(state.agent_state))
+  # Param-sized collectives are the gradient all-reduce (possibly
+  # decomposed into reduce-scatter + all-gather by XLA). What must NOT
+  # appear is anything rollout-sized: before num_minibatch_shards, the
+  # global minibatch permutation all-gathered the flattened rollout
+  # ([B*(T-1), obs]) every epoch.
+  for line in hlo.splitlines():
+    m = re.search(r"= \w+\[([\d,]*)\][^ ]* "
+                  r"(all-gather|all-to-all|all-reduce)\(", line)
+    if m:
+      dims = [int(d) for d in m.group(1).split(",") if d]
+      elems = int(np.prod(dims)) if dims else 1
+      assert elems <= n_params, (m.group(2), elems, n_params,
+                                 line.strip()[:120])
