@@ -327,6 +327,15 @@ class PPOAgent(Agent):
       raise ValueError(
           f"items {n_items} not divisible by num_minibatch_shards {n_sh} "
           f"x num_minibatches {n_mb}")
+    # Flat items are B-major, so shard blocks of n_items/n_sh only line up
+    # with the device sharding of the batch axis when B itself splits
+    # evenly across shards; a misaligned config would silently reintroduce
+    # the cross-shard gathers this feature exists to avoid.
+    if n_sh > 1 and B % n_sh:
+      raise ValueError(
+          f"experience batch {B} not divisible by num_minibatch_shards "
+          f"{n_sh}; set num_minibatch_shards to a divisor of the rollout "
+          "batch (normally the 'data' mesh-axis size)")
 
     def epoch_body(carry, epoch_key):
       params, opt_state = carry

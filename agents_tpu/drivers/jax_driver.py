@@ -128,7 +128,12 @@ class JaxEpisodeDriver:
 
   def run(self, params, state: DriverState, observer_states, key,
           num_episodes: int, max_steps: int = 10_000):
-    """Returns (state, observer_states, steps_taken)."""
+    """Returns (state, observer_states, steps_taken, episodes_completed).
+
+    `episodes_completed < num_episodes` means the `max_steps` safety net
+    fired before every row filled its quota (e.g. a non-terminating env)
+    — callers should surface that instead of silently reporting an
+    N-episode average over fewer episodes."""
     quotas = self._quotas(num_episodes)
 
     def _mask_frame(frame: tj.Trajectory, valid):
@@ -176,6 +181,7 @@ class JaxEpisodeDriver:
     completed0 = jnp.zeros((self.env.batch_size,), jnp.int32)
     carry = (state, tuple(observer_states), completed0,
              jnp.zeros((), jnp.int32), key)
-    state, observer_states, _, steps, _ = jax.lax.while_loop(
+    state, observer_states, completed, steps, _ = jax.lax.while_loop(
         cond, body, carry)
-    return state, observer_states, steps
+    episodes_completed = jnp.sum(jnp.minimum(completed, quotas))
+    return state, observer_states, steps, episodes_completed

@@ -79,16 +79,24 @@ def evaluate_jax_env_episodes(env, policy, params, key, num_episodes: int,
     k_init, k_run = jax.random.split(k)
     dstate = driver.init(k_init)
     obs_states = tuple(m.init(env.batch_size) for m in metrics)
-    _, obs_states, steps = driver.run(params, dstate, obs_states, k_run,
-                                      num_episodes, max_steps)
-    return obs_states, steps
+    _, obs_states, steps, completed = driver.run(
+        params, dstate, obs_states, k_run, num_episodes, max_steps)
+    return obs_states, steps, completed
 
-  obs_states, steps = _run(key)
+  obs_states, steps, completed = _run(key)
   out = {
       m.name: np.asarray(jax.device_get(m.result(s)))
       for m, s in zip(metrics, obs_states)
   }
   out["_steps"] = int(steps)
+  out["_episodes_completed"] = int(completed)
+  if out["_episodes_completed"] < num_episodes:
+    import warnings
+    warnings.warn(
+        f"evaluate_jax_env_episodes hit max_steps={max_steps} after only "
+        f"{out['_episodes_completed']}/{num_episodes} episodes; reported "
+        "averages cover fewer episodes than requested (raise max_steps "
+        "or check the env terminates)")
   return out
 
 

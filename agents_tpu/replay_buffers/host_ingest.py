@@ -32,8 +32,20 @@ def ensure_built() -> str:
   src = os.path.join(_NATIVE_DIR, "ingest", "ingest.cc")
   if (not os.path.exists(_LIB_PATH)
       or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                   capture_output=True)
+    try:
+      subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                     capture_output=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+      # git checkouts don't preserve mtimes: a fresh clone can look stale
+      # with a perfectly good prebuilt .so, and hosts without a C++
+      # toolchain would then fail on an import that used to work. Prefer
+      # the shipped binary over hard-failing.
+      if os.path.exists(_LIB_PATH):
+        import warnings
+        warnings.warn(
+            f"ingest rebuild failed ({e}); using prebuilt {_LIB_PATH}")
+      else:
+        raise
   return _LIB_PATH
 
 

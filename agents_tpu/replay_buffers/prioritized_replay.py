@@ -82,7 +82,8 @@ class PrioritizedReplay:
 
   def __init__(self, data_spec, batch_size: int, max_length: int,
                alpha: float = 0.6, epsilon: float = 1e-6,
-               pack_large_rows: bool = True):
+               pack_large_rows: bool = True,
+               debug_min_size_asserts: bool = False):
     from agents_tpu.ops.replay_gather import RowPacker
 
     self.data_spec = data_spec
@@ -90,6 +91,10 @@ class PrioritizedReplay:
     self.capacity = int(max_length)
     self.alpha = float(alpha)
     self.epsilon = float(epsilon)
+    self.pack_large_rows = bool(pack_large_rows)
+    # See uniform_replay.check_min_size: Reverb-MinSize-style underfill
+    # guard; the run-time variant syncs per sample, so debug only.
+    self.debug_min_size_asserts = bool(debug_min_size_asserts)
     # Tile-aligned storage for multi-KB leaves: 1.79x faster sampling on
     # TPU v5e (ops/replay_gather.py docstring).
     self.packer = RowPacker(data_spec, enabled=pack_large_rows)
@@ -148,14 +153,19 @@ class PrioritizedReplay:
     return last - ((last - r) % self.capacity)
 
   def sample(self, state, key, sample_batch_size: int,
-             num_steps: Optional[int] = None, beta: float = 0.4):
+             num_steps: Optional[int] = None, beta: float = 0.4,
+             _normalize_is_weights: bool = True):
     """Stratified prioritized sample of windows.
 
     Window priority is the priority at the window's first frame. Returns
     (batch, PrioritizedBufferInfo); leaves are [S, ...] when
     `num_steps is None`, else [S, num_steps, ...].
+    `_normalize_is_weights=False` returns raw ``(N * p)^-beta`` weights
+    (used by `sample_sharded`, which max-normalizes globally).
     """
     n = 1 if num_steps is None else int(num_steps)
+    from agents_tpu.replay_buffers.uniform_replay import check_min_size
+    check_min_size(state.count, n, self.debug_min_size_asserts)
     size = self.size(state)
     t_r = self._time_ids(state.count)                       # [capacity]
     valid = ((t_r >= 0) & (t_r >= state.count - size)
@@ -191,13 +201,75 @@ class PrioritizedReplay:
     w = jnp.where(probs > 0,
                   jnp.power(n_valid * jnp.maximum(probs, 1e-30),
                             -float(beta)), 0.0)
-    w = w / jnp.maximum(w.max(), 1e-30)
+    if _normalize_is_weights:
+      w = w / jnp.maximum(w.max(), 1e-30)
 
     batch = self._gather(state.storage, t0, rows, n)
     if num_steps is None:
       batch = jax.tree_util.tree_map(lambda x: x[:, 0], batch)
     return batch, PrioritizedBufferInfo(
         ids=t0, rows=rows, probabilities=probs, is_weights=w)
+
+  def sample_sharded(self, state, key, sample_batch_size: int, mesh,
+                     num_steps: Optional[int] = None, beta: float = 0.4,
+                     axis_name: str = "data"):
+    """Shard-local prioritized sample over a mesh-sharded buffer.
+
+    Storage and priorities sharded P(None, '<axis>') on the env-row axis:
+    each shard inverse-CDF samples S/n windows from its OWN rows' priority
+    mass (the per-worker PER of distributed replay, and the sharded
+    analogue of `UniformReplay.sample_sharded`) — gathers and the CDF
+    stay device-local; nothing storage-sized crosses the interconnect.
+
+    Semantics vs `sample`: shards are treated as equal-mass strata
+    (probabilities scaled by 1/n). Because the raw IS weight
+    ``(N_local * p_local)^-beta == (N_global * p_global)^-beta`` under
+    that convention, weights stay exact; the max-normalization is global
+    via a scalar `pmax` (the only collective, 4 bytes).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_sh = mesh.shape[axis_name]
+    if self.batch_size % n_sh or sample_batch_size % n_sh:
+      raise ValueError(
+          f"batch_size {self.batch_size} and sample_batch_size "
+          f"{sample_batch_size} must divide the '{axis_name}' axis size "
+          f"{n_sh}")
+    b_local = self.batch_size // n_sh
+    local_rb = PrioritizedReplay(
+        self.data_spec, b_local, self.capacity, alpha=self.alpha,
+        epsilon=self.epsilon, pack_large_rows=self.pack_large_rows)
+
+    def local_sample(storage, priorities, count, max_p, k):
+      i = jax.lax.axis_index(axis_name)
+      st = PrioritizedReplayState(storage=storage, priorities=priorities,
+                                  count=count[0], max_priority=max_p[0])
+      batch, info = local_rb.sample(
+          st, jax.random.fold_in(k[0], i), sample_batch_size // n_sh,
+          num_steps, beta, _normalize_is_weights=False)
+      gmax = jax.lax.pmax(jnp.max(info.is_weights), axis_name)
+      info = PrioritizedBufferInfo(
+          ids=info.ids, rows=info.rows + i * b_local,
+          probabilities=info.probabilities / n_sh,
+          is_weights=info.is_weights / jnp.maximum(gmax, 1e-30))
+      return batch, info
+
+    storage_specs = jax.tree_util.tree_map(lambda _: P(None, axis_name),
+                                           state.storage)
+    out_specs = (jax.tree_util.tree_map(lambda _: P(axis_name),
+                                        state.storage),
+                 PrioritizedBufferInfo(ids=P(axis_name), rows=P(axis_name),
+                                       probabilities=P(axis_name),
+                                       is_weights=P(axis_name)))
+    # count/max_priority/key ride a size-1 leading axis so shard_map can
+    # replicate them without rep-checking custom PRNG types.
+    return shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(storage_specs, P(None, axis_name), P(), P(), P()),
+        out_specs=out_specs, check_rep=False)(
+            state.storage, state.priorities, state.count[None],
+            state.max_priority[None], key[None])
 
   def _gather(self, storage, t0, rows, n):
     from agents_tpu.ops.replay_gather import gather_rows

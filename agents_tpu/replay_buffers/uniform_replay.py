@@ -44,6 +44,31 @@ class BufferInfo(NamedTuple):
   probabilities: jax.Array  # [sample_batch_size]
 
 
+def check_min_size(count, n: int, debug_asserts: bool = False) -> None:
+  """Underfill guard: sampling with count < num_steps would return
+  windows of never-written storage (the valid-window clamps otherwise
+  hide it — the reference blocks structurally via Reverb's MinSize rate
+  limiter, train/utils/replay_buffer_utils.py:29-56). Raises at trace
+  time when `count` is concrete; under jit, raises from a host callback
+  only when `debug_asserts` is set (the callback syncs the device every
+  sample call — debug runs only)."""
+  if jax.core.is_concrete(count):
+    if int(count) < n:
+      raise ValueError(
+          f"sample(num_steps={n}) on an underfilled replay buffer "
+          f"(count={int(count)}): wait for at least num_steps frames "
+          "(use min_replay_frames / rate_limiter.MinSize on the host "
+          "side)")
+  elif debug_asserts:
+    def _assert(c):
+      if int(c) < n:
+        raise RuntimeError(
+            f"replay underfilled at run time: count={int(c)} < "
+            f"num_steps={n} — sampled windows would contain "
+            "never-written frames")
+    jax.debug.callback(_assert, count)
+
+
 class UniformReplay:
   """Uniform-sampling ring buffer.
 
@@ -54,13 +79,22 @@ class UniformReplay:
   """
 
   def __init__(self, data_spec, batch_size: int, max_length: int,
-               pack_large_rows: bool = True):
+               pack_large_rows: bool = True,
+               debug_min_size_asserts: bool = False):
     from agents_tpu.ops.replay_gather import RowPacker
 
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
     self.pack_large_rows = bool(pack_large_rows)
+    # Reverb blocks underfilled sampling structurally (MinSize limiter,
+    # reference train/utils/replay_buffer_utils.py:29-56); a jittable ring
+    # can't block, so `sample` raises at trace time whenever `count` is
+    # concrete, and — with this flag — also installs a host debug
+    # callback that raises at run time under jit. The callback syncs the
+    # device every sample call, so it is debug-only: leave it off in
+    # fused hot loops and gate with `min_replay_frames` there instead.
+    self.debug_min_size_asserts = bool(debug_min_size_asserts)
     # Multi-KB leaves (e.g. Atari frame stacks) are stored tile-aligned
     # ([r, 128] blocks): measured 1.79x faster to sample on TPU v5e than
     # the natural layout (ops/replay_gather.py docstring).
@@ -106,6 +140,7 @@ class UniformReplay:
     conventions, reference :329).
     """
     n = 1 if num_steps is None else int(num_steps)
+    self._check_min_size(state.count, n)
     k_t, k_b = jax.random.split(key)
     size = self.size(state)
     lo = state.count - size                      # oldest valid time id
@@ -121,6 +156,9 @@ class UniformReplay:
                      1.0 / (jnp.maximum(num_valid, 1) * self.batch_size),
                      jnp.float32)
     return batch, BufferInfo(ids=t0, rows=rows, probabilities=probs)
+
+  def _check_min_size(self, count, n: int) -> None:
+    check_min_size(count, n, self.debug_min_size_asserts)
 
   def _gather(self, storage, t0, rows, n):
     """Gather [S, n, ...] windows by flat index. Packed leaves are

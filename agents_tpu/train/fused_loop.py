@@ -221,6 +221,14 @@ class FusedTrainLoop:
     k_init, k_run = jax.random.split(key)
     dstate = driver.init(k_init)
     obs_states = tuple(m.init(self.env.batch_size) for m in metrics)
-    _, obs_states, _ = driver.run(params, dstate, obs_states, k_run,
-                                  num_episodes, max_steps)
+    _, obs_states, _, completed = driver.run(params, dstate, obs_states,
+                                             k_run, num_episodes, max_steps)
+    # When called eagerly, surface a max_steps shortfall; under jit the
+    # caller can compare the returned NumberOfEpisodes metric instead.
+    if jax.core.is_concrete(completed) and int(completed) < num_episodes:
+      import warnings
+      warnings.warn(
+          f"evaluate hit max_steps={max_steps} after only "
+          f"{int(completed)}/{num_episodes} episodes; metrics cover "
+          "fewer episodes than requested")
     return {m.name: m.result(s) for m, s in zip(metrics, obs_states)}

@@ -38,8 +38,19 @@ def ensure_built() -> str:
   src = os.path.join(_NATIVE_DIR, "varstore", "varstore.cc")
   if (not os.path.exists(_LIB_PATH)
       or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                   capture_output=True)
+    try:
+      subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                     capture_output=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+      # git checkouts don't preserve mtimes, so a fresh clone can look
+      # "stale" even with a good prebuilt library; without a toolchain the
+      # rebuild fails. Keep the shipped binary rather than hard-failing.
+      if os.path.exists(_LIB_PATH):
+        import warnings
+        warnings.warn(
+            f"varstore rebuild failed ({e}); using prebuilt {_LIB_PATH}")
+      else:
+        raise
   return _LIB_PATH
 
 
@@ -97,6 +108,13 @@ class VariableContainer:
     else:
       self._h = self._lib.vs_open(n)
     if not self._h:
+      if create and os.path.exists("/dev/shm" + self.name):
+        raise OSError(
+            f"varstore segment {self.name} already exists (stale from a "
+            "crashed or duplicate learner). Recreating it in place would "
+            "orphan collectors mmap'ed to the old segment, so create "
+            "refuses; call VariableContainer.unlink_name(name) first if "
+            "you own the name.")
       raise OSError(f"varstore {'create' if create else 'open'} failed "
                     f"for {self.name}")
     if self._lib.vs_capacity(self._h) < self._payload_bytes:
@@ -146,6 +164,14 @@ class VariableContainer:
 
   def writes(self) -> int:
     return int(self._lib.vs_writes(self._h))
+
+  @staticmethod
+  def unlink_name(name: str) -> None:
+    """Remove a (possibly stale) segment by name, e.g. before `create`
+    when this process owns the name and any prior owner is dead."""
+    if not name.startswith("/"):
+      name = "/" + name
+    _load().vs_unlink(name.encode())
 
   def close(self) -> None:
     if self._h:

@@ -125,6 +125,10 @@ def main():
   weights_vc = None
   if args.weights_shm:
     from agents_tpu.train.variable_container import VariableContainer
+    # The learner owns this name: clear any stale segment from a crashed
+    # prior run (create itself refuses to replace an existing segment so
+    # live collectors are never silently orphaned).
+    VariableContainer.unlink_name(args.weights_shm)
     weights_vc = VariableContainer(
         args.weights_shm, agent.collect_policy_params(agent_state),
         create=True)
@@ -182,6 +186,16 @@ def main():
   if args.samples_per_insert > 0:
     eb = args.sample_insert_error_buffer or 2.0 * max(
         samples_per_chunk, args.samples_per_insert)
+    # The window must cover one full sample chunk plus one insert, or the
+    # trainer live-locks: can_sample(chunk) needs diff >= min_diff + chunk
+    # while drain_gated stops inserting at diff + spi > max_diff.
+    min_eb = 0.5 * (samples_per_chunk + args.samples_per_insert) + 1.0
+    if eb < min_eb:
+      print(json.dumps({"job": "train", "warning":
+                        f"sample_insert_error_buffer {eb} too small for "
+                        f"chunked sampling; clamped to {min_eb}"}),
+            flush=True)
+      eb = min_eb
     limiter = SampleToInsertRatio(args.samples_per_insert,
                                   args.min_replay_items, eb)
   else:

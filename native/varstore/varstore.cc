@@ -54,11 +54,10 @@ struct Store {
 
 Store* map_store(const char* name, uint64_t capacity, bool create) {
   int flags = create ? (O_RDWR | O_CREAT | O_EXCL) : O_RDWR;
+  // On EEXIST we fail rather than unlink+recreate: readers mmap'ed to a
+  // replaced segment would keep reading the orphaned mapping forever
+  // (step() frozen) with no error. The owner must vs_unlink explicitly.
   int fd = shm_open(name, flags, 0600);
-  if (fd < 0 && create && errno == EEXIST) {
-    shm_unlink(name);
-    fd = shm_open(name, flags, 0600);
-  }
   if (fd < 0) return nullptr;
 
   size_t map_bytes;
@@ -123,8 +122,13 @@ int vs_write(void* handle, const uint8_t* buf, uint64_t len, int64_t step) {
   Store* s = static_cast<Store*>(handle);
   if (len > s->hdr->capacity) return -1;
   uint64_t seq = s->hdr->seq.load(std::memory_order_relaxed);
-  s->hdr->seq.store(seq + 1, std::memory_order_release);  // odd: writing
-  std::atomic_thread_fence(std::memory_order_acquire);
+  s->hdr->seq.store(seq + 1, std::memory_order_relaxed);  // odd: writing
+  // Full fence: the odd seq must become visible BEFORE any payload byte.
+  // A release store only orders PRIOR writes, and an acquire fence orders
+  // loads — neither gives the StoreStore edge needed here on weakly
+  // ordered hosts (ARM), where a reader could otherwise pass both seq
+  // checks around a torn payload.
+  std::atomic_thread_fence(std::memory_order_seq_cst);
   std::memcpy(s->data, buf, len);
   s->hdr->size.store(len, std::memory_order_relaxed);
   s->hdr->step.store(step, std::memory_order_relaxed);

@@ -66,12 +66,13 @@ def _run(num_episodes, batch_size=4, max_steps=200):
     k_init, k_run = jax.random.split(key)
     dstate = driver.init(k_init)
     obs = tuple(m.init(batch_size) for m in metrics)
-    _, obs, steps = driver.run((), dstate, obs, k_run, num_episodes,
-                               max_steps)
-    return obs, steps
+    _, obs, steps, completed = driver.run((), dstate, obs, k_run,
+                                          num_episodes, max_steps)
+    return obs, steps, completed
 
-  obs, steps = go(jax.random.key(0))
+  obs, steps, completed = go(jax.random.key(0))
   results = {m.name: np.asarray(m.result(s)) for m, s in zip(metrics, obs)}
+  results["_episodes_completed"] = int(completed)
   return results, int(steps)
 
 
@@ -100,6 +101,13 @@ def test_max_steps_bounds_loop():
   # Only episodes completed within the budget are counted: each row
   # finishes exactly one episode (at step 5) within 7 lockstep steps.
   assert results["NumberOfEpisodes"] == 2
+  # The driver reports the shortfall instead of hiding it.
+  assert results["_episodes_completed"] == 2
+
+
+def test_quota_filled_reported():
+  results, _ = _run(num_episodes=6)
+  assert results["_episodes_completed"] == 6
 
 
 def test_fused_loop_evaluate():

@@ -202,3 +202,58 @@ def test_fused_loop_with_prioritized_replay_learns():
   assert avg > 100.0, f"PER loop failed to learn: return {avg}"
   # Priorities actually differentiated during training.
   assert float(np.asarray(state.replay_state.priorities).std()) > 0.0
+
+
+def test_sample_sharded_prioritized_semantics():
+  """Shard-local PER: payload integrity, per-shard stratification, and
+  IS weights matching hand-computed global normalization."""
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from agents_tpu import specs
+  from agents_tpu.parallel import create_mesh
+
+  B, CAP, S = 8, 16, 256
+  spec = {"tag": specs.ArraySpec((), np.int32)}
+  rb = PrioritizedReplay(spec, batch_size=B, max_length=CAP, alpha=1.0)
+  state = rb.init()
+  for t in range(10):
+    # priority r+1 per row: shard masses differ, weights must still be
+    # globally normalized.
+    state = rb.add_batch(
+        state, {"tag": jnp.arange(B, dtype=jnp.int32) * 100 + t},
+        priorities=jnp.arange(1.0, B + 1.0))
+
+  mesh = create_mesh(4)
+  place = lambda x: jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+  state = state.replace(storage=jax.tree_util.tree_map(place, state.storage),
+                        priorities=place(state.priorities))
+
+  batch, info = jax.jit(
+      lambda s, k: rb.sample_sharded(s, k, S, mesh, beta=0.5))(
+          state, jax.random.key(0))
+  rows, ids = np.asarray(info.rows), np.asarray(info.ids)
+  tags = np.asarray(batch["tag"])
+
+  np.testing.assert_array_equal(tags, rows * 100 + ids)
+  # Stratified: exactly S/4 samples from each shard's 2-row block.
+  for shard in range(4):
+    assert ((rows // 2) == shard).sum() == S // 4
+  # Within a shard, higher-priority rows are sampled more often.
+  odd = (rows % 2 == 1).sum()
+  assert odd > S // 2  # row 2k+1 has higher priority than row 2k
+
+  # IS weights: w = (N_g * p_g)^-beta / max over the whole batch.
+  probs = np.asarray(info.probabilities)
+  n_g = 10 * B  # valid windows x rows, globally
+  w_expected = (n_g * probs) ** -0.5
+  w_expected = w_expected / w_expected.max()
+  np.testing.assert_allclose(np.asarray(info.is_weights), w_expected,
+                             rtol=1e-5)
+
+  # Priorities written back through global rows land on the right slots.
+  state2 = jax.jit(rb.update_priorities)(state, info,
+                                         jnp.ones((S,)) * 0.123)
+  pr = np.asarray(state2.priorities)
+  touched = set(zip((ids % CAP).tolist(), rows.tolist()))
+  for (p, r) in touched:
+    np.testing.assert_allclose(pr[p, r], 0.123 + rb.epsilon, rtol=1e-5)

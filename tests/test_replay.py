@@ -104,3 +104,47 @@ def test_clear():
   state = _fill(replay, replay.init(), range(3))
   state = replay.clear(state)
   assert int(replay.size(state)) == 0
+
+
+# -- underfill guard (Reverb MinSize analogue) --------------------------------
+
+def test_underfilled_sample_raises_eagerly():
+  import pytest
+
+  replay = UniformReplay(SPEC, batch_size=2, max_length=8)
+  state = replay.init()
+  with pytest.raises(ValueError, match="underfilled"):
+    replay.sample(state, jax.random.key(0), 4)
+  state = _fill(replay, state, range(1))
+  with pytest.raises(ValueError, match="underfilled"):
+    replay.sample(state, jax.random.key(0), 4, num_steps=2)
+  # exactly num_steps frames: valid
+  state = _fill(replay, state, range(1, 2))
+  replay.sample(state, jax.random.key(0), 4, num_steps=2)
+
+
+def test_underfilled_sample_debug_assert_under_jit():
+  import pytest
+
+  replay = UniformReplay(SPEC, batch_size=2, max_length=8,
+                         debug_min_size_asserts=True)
+
+  @jax.jit
+  def draw(state):
+    batch, _ = replay.sample(state, jax.random.key(0), 4, num_steps=2)
+    return batch
+
+  state = _fill(replay, replay.init(), range(4))
+  jax.block_until_ready(draw(state))  # filled: no error
+  with pytest.raises(Exception, match="underfilled"):
+    jax.block_until_ready(draw(replay.init()))
+
+
+def test_underfilled_prioritized_sample_raises_eagerly():
+  import pytest
+
+  from agents_tpu.replay_buffers import PrioritizedReplay
+
+  replay = PrioritizedReplay(SPEC, batch_size=2, max_length=8)
+  with pytest.raises(ValueError, match="underfilled"):
+    replay.sample(replay.init(), jax.random.key(0), 4, num_steps=2)
