@@ -133,6 +133,10 @@ class Learner:
         v = np.asarray(jax.device_get(val))
         if v.ndim == 0:
           w.scalar("collect/" + name, float(v), step)
+        elif v.ndim == 1 and hasattr(w, "histogram_from_counts"):
+          # Vector metrics are per-bucket counts (ChosenActionHistogram,
+          # reference metrics/tf_metrics.py:369) -> TB histogram.
+          w.histogram_from_counts("collect/" + name, v, step)
     sps = self._tracker.steps_per_second(step)
     self._tracker.restart(step)
     w.scalar("steps_per_sec", sps, step)
@@ -161,6 +165,15 @@ class JsonlSummaryWriter:
   def scalar(self, name: str, value: float, step: int):
     self._f.write(json.dumps(
         {"step": int(step), name: float(value), "t": time.time()}) + "\n")
+    self._f.flush()
+
+  def histogram_from_counts(self, name: str, counts, step: int,
+                            limits=None):
+    rec = {"step": int(step), name: [float(c) for c in np.asarray(counts)],
+           "t": time.time()}
+    if limits is not None:
+      rec[name + "/limits"] = [float(x) for x in np.asarray(limits)]
+    self._f.write(json.dumps(rec) + "\n")
     self._f.flush()
 
   def close(self):

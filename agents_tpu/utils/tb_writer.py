@@ -101,6 +101,23 @@ def _scalar_summary(tag: str, value: float) -> bytes:
   return _bytes_field(1, val)   # Summary.value (repeated, field 1)
 
 
+def _packed_doubles(field: int, values) -> bytes:
+  payload = b"".join(struct.pack("<d", float(v)) for v in values)
+  return _bytes_field(field, payload)
+
+
+def _histo_summary(tag: str, limits, counts, vmin: float, vmax: float,
+                   num: float, total: float, sum_sq: float) -> bytes:
+  # HistogramProto: 1 min, 2 max, 3 num, 4 sum, 5 sum_squares,
+  # 6 bucket_limit (packed double), 7 bucket (packed double).
+  histo = (_double_field(1, vmin) + _double_field(2, vmax)
+           + _double_field(3, num) + _double_field(4, total)
+           + _double_field(5, sum_sq)
+           + _packed_doubles(6, limits) + _packed_doubles(7, counts))
+  val = _bytes_field(1, tag.encode()) + _bytes_field(5, histo)
+  return _bytes_field(1, val)
+
+
 class TensorBoardEventWriter:
   """Writes scalars as a TensorBoard events file under ``logdir``."""
 
@@ -123,12 +140,44 @@ class TensorBoardEventWriter:
     self._record(_event(time.time(), int(step),
                         summary=_scalar_summary(name, value)))
 
+  def histogram(self, name: str, values, step: int, bins: int = 30):
+    """Histogram of raw samples (the ``tf.summary.histogram`` analogue,
+    used for weight/action distributions)."""
+    import numpy as np
+    v = np.asarray(values, np.float64).reshape(-1)
+    if v.size == 0:
+      return
+    counts, edges = np.histogram(v, bins=bins)
+    self._record(_event(time.time(), int(step), summary=_histo_summary(
+        name, edges[1:], counts, float(v.min()), float(v.max()),
+        float(v.size), float(v.sum()), float(np.square(v).sum()))))
+
+  def histogram_from_counts(self, name: str, counts, step: int,
+                            limits=None):
+    """Histogram from precomputed per-bucket counts (e.g. the
+    ChosenActionHistogram metric's action counts, reference
+    metrics/tf_metrics.py:369). `limits[i]` is bucket i's right edge;
+    defaults to 0..n-1 (one bucket per discrete value)."""
+    import numpy as np
+    c = np.asarray(counts, np.float64).reshape(-1)
+    if limits is None:
+      limits = np.arange(c.size, dtype=np.float64)
+    limits = np.asarray(limits, np.float64)
+    num = float(c.sum())
+    total = float((limits * c).sum())
+    sum_sq = float((np.square(limits) * c).sum())
+    self._record(_event(time.time(), int(step), summary=_histo_summary(
+        name, limits, c, float(limits.min()) if c.size else 0.0,
+        float(limits.max()) if c.size else 0.0, num, total, sum_sq)))
+
   def close(self):
     self._f.close()
 
 
 class MultiWriter:
-  """Fan a `scalar` stream out to several writers (e.g. JSONL + TB)."""
+  """Fan a `scalar`/`histogram` stream out to several writers (e.g.
+  JSONL + TB). Writers lacking a histogram surface are skipped for
+  histogram calls."""
 
   def __init__(self, *writers):
     self.writers = writers
@@ -136,6 +185,19 @@ class MultiWriter:
   def scalar(self, name: str, value: float, step: int):
     for w in self.writers:
       w.scalar(name, value, step)
+
+  def histogram(self, name: str, values, step: int, bins: int = 30):
+    for w in self.writers:
+      fn = getattr(w, "histogram", None)
+      if fn is not None:
+        fn(name, values, step, bins=bins)
+
+  def histogram_from_counts(self, name: str, counts, step: int,
+                            limits=None):
+    for w in self.writers:
+      fn = getattr(w, "histogram_from_counts", None)
+      if fn is not None:
+        fn(name, counts, step, limits=limits)
 
   def close(self):
     for w in self.writers:

@@ -164,3 +164,43 @@ def test_learner_summary_observability(tmp_path):
   assert "collect/AverageReturn" in keys
   assert "steps_per_sec" in keys
   assert "staleness" in keys
+
+
+def test_learner_routes_action_histogram_to_writer(tmp_path):
+  """1-D collect metric results (ChosenActionHistogram) flow to the
+  writer's histogram surface (reference metrics/tf_metrics.py:369 +
+  learner summary gate)."""
+  import json
+
+  from agents_tpu.train import JsonlSummaryWriter
+
+  env = BatchedJaxEnv(CartPole(), batch_size=4)
+  tss, asp = env.time_step_spec(), env.action_spec()
+  qnet = networks.make_q_network(tss.observation, asp,
+                                 fc_layer_params=(16,))
+  agent = DqnAgent(tss, asp, qnet, optax.adam(1e-3), gamma=0.99,
+                   td_errors_loss_fn=common.element_wise_squared_loss)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=4,
+                         max_length=256)
+  loop = FusedTrainLoop(
+      env, agent, replay, sample_batch_size=16,
+      metrics=metrics.standard_collect_metrics(8)
+      + (metrics.ChosenActionHistogram(num_actions=2),))
+  state = jax.jit(lambda k: loop.init(k, initial_collect_steps=8))(
+      jax.random.key(0))
+
+  path = str(tmp_path / "summaries.jsonl")
+  learner = Learner(str(tmp_path), loop=loop, initial_state=state,
+                    checkpoint_interval=0,
+                    summary_writer=JsonlSummaryWriter(path),
+                    summary_interval=1)
+  learner.run(2)
+
+  hist = None
+  with open(path) as f:
+    for line in f:
+      rec = json.loads(line)
+      if "collect/ChosenActionHistogram" in rec:
+        hist = rec["collect/ChosenActionHistogram"]
+  assert hist is not None and len(hist) == 2
+  assert sum(hist) > 0  # counted some actions
