@@ -215,15 +215,38 @@ class CqlSacAgent(SacAgent):
     return actor_loss + alpha_loss, (actor_loss, alpha_loss)
 
   def _log_prob(self, actor_params, time_steps, actions):
-    """Actor-distribution log-prob of given actions, summed over leaves."""
+    """Actor-distribution log-prob of given actions, summed over leaves.
+
+    Actions are clipped a small margin INTO the spec interior first:
+    offline datasets contain actions saturated exactly at the bounds
+    (noise-clipped collection, D4RL clipping), where the tanh-squashed
+    log-prob diverges (measured -300+ at the boundary) and its gradient
+    dominates the BC/CQL objective, wrecking the actor fit for the 97%
+    of in-support actions. The reference's data path has the same
+    boundary pathology handled by TFP's capped atanh; an explicit
+    interior clip bounds it deterministically."""
     dist, _ = self.actor_network.apply(
         actor_params, time_steps.observation, time_steps.step_type, ())
     d_leaves = jax.tree_util.tree_leaves(
         dist, is_leaf=lambda d: hasattr(d, "log_prob"))
     a_leaves = jax.tree_util.tree_leaves(actions)
-    lp = d_leaves[0].log_prob(a_leaves[0])
-    for d, a in zip(d_leaves[1:], a_leaves[1:]):
-      lp = lp + d.log_prob(a)
+    s_leaves = jax.tree_util.tree_leaves(
+        self.action_spec,
+        is_leaf=lambda s: hasattr(s, "minimum") or hasattr(s, "shape"))
+
+    def interior(a, spec):
+      lo = getattr(spec, "minimum", None)
+      hi = getattr(spec, "maximum", None)
+      if lo is None or hi is None:
+        return a
+      lo = jnp.asarray(lo, a.dtype)
+      hi = jnp.asarray(hi, a.dtype)
+      margin = 1e-3 * (hi - lo)
+      return jnp.clip(a, lo + margin, hi - margin)
+
+    lp = d_leaves[0].log_prob(interior(a_leaves[0], s_leaves[0]))
+    for d, a, s in zip(d_leaves[1:], a_leaves[1:], s_leaves[1:]):
+      lp = lp + d.log_prob(interior(a, s))
     return lp
 
   # -- train -------------------------------------------------------------------

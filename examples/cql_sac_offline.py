@@ -1,0 +1,235 @@
+"""Offline CQL-SAC end-to-end: collect -> dataset -> offline train -> eval.
+
+Analogue of ``tf_agents/examples/cql_sac/kumar20/cql_sac_train_eval.py``
+(D4RL offline RL): since D4RL is absent from this image, the behavior
+dataset is self-generated — a partially-trained ("medium") SAC policy
+collects transitions which are persisted through ``utils/dataset_io``
+(the TFRecord/RLDS analogue), then a fresh ``CqlSacAgent`` trains purely
+offline from that dataset and is greedy-evaluated. Success criterion:
+the offline-trained policy beats the behavior policy's return.
+
+Pipeline shape matches the reference: dataset -> replay shards ->
+transition windows -> CQL-SAC train -> periodic greedy eval
+(kumar20/cql_sac_train_eval.py: load_d4rl -> reverb ->
+dataset.as_dataset(num_steps=2) -> agent.train -> eager_compute).
+
+Usage:
+  python examples/cql_sac_offline.py [--cfg.env_name=HalfCheetah-v5] ...
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+  root_dir: str = "/tmp/agents_tpu/cql_sac_offline"
+  env_name: str = "HalfCheetah-v5"
+  env_batch_size: int = 32
+  # Phase A: partially-train SAC to a medium-quality behavior policy.
+  behavior_env_steps: int = 200_000
+  behavior_utd_ratio: float = 1.0
+  # Phase B: frames collected from the behavior (stochastic) policy.
+  dataset_frames: int = 100_000
+  # Phase C: offline CQL at the kumar20 mujoco_medium operating point
+  # (configs/mujoco_medium.gin: cql_alpha 0.1, softmax temperature 50,
+  # bc_steps 10000, actor lr 3e-4, reward scale 0.1, interior action
+  # clipping — the latter built into CqlSacAgent._log_prob).
+  offline_train_steps: int = 100_000
+  offline_batch_size: int = 256
+  cql_alpha: float = 0.1
+  num_cql_samples: int = 10
+  softmax_temperature: float = 50.0
+  num_bc_steps: int = 10_000
+  include_critic_entropy_term: bool = False
+  reward_noise_variance: float = 0.0
+  actor_lr: float = 3e-4
+  critic_lr: float = 3e-4
+  alpha_lr: float = 3e-4
+  actor_fc_layers: tuple = (256, 256)
+  critic_joint_fc_layers: tuple = (256, 256, 256)
+  gamma: float = 0.99
+  target_update_tau: float = 0.005
+  reward_scale_factor: float = 0.1
+  eval_interval: int = 25_000     # offline gradient steps between evals
+  num_eval_episodes: int = 10
+  num_eval_envs: int = 10
+  train_steps_per_call: int = 64
+  seed: int = 0
+
+
+def _make_sac(cfg, tss, asp, cql: bool):
+  import optax
+
+  from agents_tpu import networks
+  from agents_tpu.agents.cql import CqlSacAgent
+  from agents_tpu.agents.sac import SacAgent
+
+  kwargs = dict(
+      critic_network=networks.make_critic_network(
+          tss.observation, asp,
+          joint_fc_layer_params=(cfg.critic_joint_fc_layers if cql
+                                 else (256, 256))),
+      actor_network=networks.make_sac_actor_network(
+          tss.observation, asp, fc_layer_params=cfg.actor_fc_layers),
+      actor_optimizer=optax.adam(cfg.actor_lr if cql else 3e-4),
+      critic_optimizer=optax.adam(cfg.critic_lr),
+      alpha_optimizer=optax.adam(cfg.alpha_lr),
+      gamma=cfg.gamma, target_update_tau=cfg.target_update_tau,
+      reward_scale_factor=cfg.reward_scale_factor)
+  if not cql:
+    return SacAgent(tss, asp, **kwargs)
+  return CqlSacAgent(
+      tss, asp, cql_alpha=cfg.cql_alpha,
+      num_cql_samples=cfg.num_cql_samples,
+      softmax_temperature=cfg.softmax_temperature,
+      num_bc_steps=cfg.num_bc_steps,
+      include_critic_entropy_term=cfg.include_critic_entropy_term,
+      reward_noise_variance=cfg.reward_noise_variance,
+      **kwargs)
+
+
+def train_eval(cfg: Config):
+  import jax
+  import numpy as np
+
+  from agents_tpu.drivers.py_driver import PyDriver
+  from agents_tpu.environments import suite_gym
+  from agents_tpu.environments.batched_py_environment import (
+      BatchedPyEnvironment,)
+  from agents_tpu.eval import metric_utils
+  from agents_tpu.metrics import py_metrics
+  from agents_tpu.policies.jitted_py_policy import JittedPyPolicy
+  from agents_tpu.policies.policy_saver import PolicySaver
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.train import AsyncHostDeviceTrainLoop, JsonlSummaryWriter
+  from agents_tpu.trajectories import trajectory as tj
+  from agents_tpu.utils import dataset_io
+
+  writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "offline.jsonl"))
+  env = BatchedPyEnvironment(
+      [suite_gym.load(cfg.env_name) for _ in range(cfg.env_batch_size)])
+  tss, asp = env.time_step_spec(), env.action_spec()
+  eval_env = BatchedPyEnvironment(
+      [suite_gym.load(cfg.env_name) for _ in range(cfg.num_eval_envs)])
+
+  def greedy_eval(agent, agent_state) -> float:
+    pol = JittedPyPolicy(agent.policy)
+    pol.update_params(agent.policy_params(agent_state))
+    res = metric_utils.compute(
+        [py_metrics.AverageReturnMetric(cfg.num_eval_episodes)],
+        eval_env, pol, num_episodes=cfg.num_eval_episodes)
+    return float(res["AverageReturn"])
+
+  # ---- Phase A: behavior policy (partially-trained SAC) ------------------
+  t0 = time.time()
+  behavior = _make_sac(cfg, tss, asp, cql=False)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp),
+                         batch_size=cfg.env_batch_size, max_length=16384)
+  loop = AsyncHostDeviceTrainLoop(
+      env, behavior, replay, sample_batch_size=cfg.offline_batch_size,
+      train_steps_per_call=32, utd_ratio=cfg.behavior_utd_ratio,
+      min_replay_frames=256 * cfg.env_batch_size,
+      py_metrics=[py_metrics.AverageReturnMetric(20)])
+  out = loop.run(
+      total_env_batch_steps=cfg.behavior_env_steps // cfg.env_batch_size,
+      seed=cfg.seed, initial_random_steps=256)
+  behavior_state = out["agent_state"]
+  behavior_return = greedy_eval(behavior, behavior_state)
+  print(f"[phase A] behavior policy @ {cfg.behavior_env_steps} env steps: "
+        f"greedy return {behavior_return:.0f} "
+        f"({time.time() - t0:.0f}s)", flush=True)
+  writer.scalar("behavior_return", behavior_return, 0)
+
+  # ---- Phase B: persist a medium-quality dataset -------------------------
+  t0 = time.time()
+  data_dir = os.path.join(cfg.root_dir, "dataset")
+  data_spec = tj.trajectory_spec(tss, asp)
+  observer = dataset_io.TrajectoryFileObserver(data_dir, data_spec,
+                                               frames_per_shard=1024)
+  collect_policy = JittedPyPolicy(behavior.collect_policy,
+                                  seed=cfg.seed + 1)
+  collect_policy.update_params(
+      behavior.collect_policy_params(behavior_state))
+  # PyDriver counts non-boundary steps summed over the batch, so
+  # max_steps == total transitions in the dataset.
+  driver = PyDriver(env, collect_policy, observers=[observer],
+                    max_steps=cfg.dataset_frames)
+  driver.run(env.reset())
+  observer.flush()
+  print(f"[phase B] dataset: {cfg.dataset_frames} frames -> {data_dir} "
+        f"({time.time() - t0:.0f}s)", flush=True)
+
+  # ---- Phase C: offline CQL-SAC ------------------------------------------
+  t0 = time.time()
+  agent = _make_sac(cfg, tss, asp, cql=True)
+  offline_rows = cfg.env_batch_size
+  offline_replay = UniformReplay(
+      data_spec, batch_size=offline_rows,
+      max_length=max(2, cfg.dataset_frames // offline_rows))
+  rstate = offline_replay.init()
+  template = jax.tree_util.tree_map(
+      lambda s: np.zeros((1,) + tuple(s.shape), s.dtype), data_spec)
+  rstate = dataset_io.dataset_to_replay(data_dir, template, offline_replay,
+                                        rstate)
+  print(f"[phase C] replay loaded: {int(jax.device_get(rstate.count))} "
+        f"x {offline_rows} frames", flush=True)
+
+  agent_state = agent.init(jax.random.key(cfg.seed + 2))
+
+  def train_chunk(ag, key):
+    def one(a, k):
+      exp, _ = offline_replay.sample(
+          rstate, k, cfg.offline_batch_size,
+          num_steps=agent.train_sequence_length)
+      a, loss = agent.train(a, exp)
+      return a, loss.loss
+    ks = jax.random.split(key, cfg.train_steps_per_call)
+    ag, losses = jax.lax.scan(one, ag, ks)
+    return ag, losses[-1]
+
+  train_chunk = jax.jit(train_chunk)
+  key = jax.random.key(cfg.seed + 3)
+  steps = 0
+  best = -np.inf
+  while steps < cfg.offline_train_steps:
+    key, k = jax.random.split(key)
+    agent_state, loss = train_chunk(agent_state, k)
+    steps += cfg.train_steps_per_call
+    if steps % cfg.eval_interval < cfg.train_steps_per_call:
+      ret = greedy_eval(agent, agent_state)
+      best = max(best, ret)
+      writer.scalar("offline_eval_return", ret, steps)
+      writer.scalar("cql_loss", float(jax.device_get(loss)), steps)
+      print(f"[phase C] offline step {steps}: greedy return {ret:.0f} "
+            f"(loss {float(jax.device_get(loss)):.2f})", flush=True)
+
+  final_return = greedy_eval(agent, agent_state)
+  best = max(best, final_return)
+  writer.scalar("offline_eval_return", final_return,
+                cfg.offline_train_steps)
+  print(f"[phase C] done in {time.time() - t0:.0f}s", flush=True)
+
+  saver = PolicySaver(agent.policy, train_step=cfg.offline_train_steps)
+  saver.save(os.path.join(cfg.root_dir, "policies", "greedy_policy"),
+             agent.policy_params(agent_state))
+  return {
+      "behavior_return": behavior_return,
+      "offline_return": final_return,
+      "offline_best_return": best,
+      "beats_behavior": bool(best >= behavior_return),
+  }
+
+
+if __name__ == "__main__":
+  from agents_tpu.utils import config as config_lib
+
+  cfg = config_lib.parse_flags(Config())
+  os.makedirs(cfg.root_dir, exist_ok=True)
+  config_lib.save(cfg, os.path.join(cfg.root_dir, "config.json"))
+  out = train_eval(cfg)
+  print(json.dumps(out))
