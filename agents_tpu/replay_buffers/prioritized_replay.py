@@ -234,12 +234,13 @@ class PrioritizedReplay:
     if self.batch_size % n_sh or sample_batch_size % n_sh:
       raise ValueError(
           f"batch_size {self.batch_size} and sample_batch_size "
-          f"{sample_batch_size} must divide the '{axis_name}' axis size "
-          f"{n_sh}")
+          f"{sample_batch_size} must both be divisible by the "
+          f"'{axis_name}' axis size {n_sh}")
     b_local = self.batch_size // n_sh
     local_rb = PrioritizedReplay(
         self.data_spec, b_local, self.capacity, alpha=self.alpha,
-        epsilon=self.epsilon, pack_large_rows=self.pack_large_rows)
+        epsilon=self.epsilon, pack_large_rows=self.pack_large_rows,
+        debug_min_size_asserts=self.debug_min_size_asserts)
 
     def local_sample(storage, priorities, count, max_p, k):
       i = jax.lax.axis_index(axis_name)

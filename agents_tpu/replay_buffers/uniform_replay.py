@@ -200,10 +200,13 @@ class UniformReplay:
     if self.batch_size % n or sample_batch_size % n:
       raise ValueError(
           f"batch_size {self.batch_size} and sample_batch_size "
-          f"{sample_batch_size} must divide the '{axis_name}' axis size {n}")
+          f"{sample_batch_size} must both be divisible by the "
+          f"'{axis_name}' axis size {n}")
     b_local = self.batch_size // n
-    local_rb = UniformReplay(self.data_spec, b_local, self.capacity,
-                             pack_large_rows=self.pack_large_rows)
+    local_rb = UniformReplay(
+        self.data_spec, b_local, self.capacity,
+        pack_large_rows=self.pack_large_rows,
+        debug_min_size_asserts=self.debug_min_size_asserts)
 
     def local_sample(storage, count, k):
       i = jax.lax.axis_index(axis_name)

@@ -133,9 +133,13 @@ class Learner:
         v = np.asarray(jax.device_get(val))
         if v.ndim == 0:
           w.scalar("collect/" + name, float(v), step)
-        elif v.ndim == 1 and hasattr(w, "histogram_from_counts"):
-          # Vector metrics are per-bucket counts (ChosenActionHistogram,
-          # reference metrics/tf_metrics.py:369) -> TB histogram.
+        elif (v.ndim == 1 and "Histogram" in name
+              and hasattr(w, "histogram_from_counts")):
+          # Count-vector metrics (ChosenActionHistogram, reference
+          # metrics/tf_metrics.py:369) -> TB histogram. Routed by the
+          # metric's declared intent (name), not by shape: a 1-D vector
+          # of continuous values (quantiles, per-row returns) encoded as
+          # bucket counts would render nonsense.
           w.histogram_from_counts("collect/" + name, v, step)
     sps = self._tracker.steps_per_second(step)
     self._tracker.restart(step)

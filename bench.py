@@ -159,7 +159,8 @@ def conv_bench():
   iters = CHUNK * N_TIMED
   env_steps_per_s = iters * B / dt
   train_step_ms = dt / iters * 1e3
-  mfu = (flops_per_chunk * N_TIMED / dt) / V5E_PEAK_FLOPS_BF16
+  mfu = ((flops_per_chunk * N_TIMED / dt) / V5E_PEAK_FLOPS_BF16
+         if np.isfinite(flops_per_chunk) else None)
 
   dq = jax.device_get(state.metric_states[2].deque)
   n = min(int(dq.count), dq.data.shape[0])
@@ -168,7 +169,7 @@ def conv_bench():
   return {
       "env_steps_per_s": round(env_steps_per_s, 1),
       "iteration_ms": round(train_step_ms, 3),
-      "mfu": round(mfu, 4),
+      "mfu": round(mfu, 4) if mfu is not None else None,
       "flops_per_iteration": (round(flops_per_chunk / CHUNK / 1e9, 3)
                               if np.isfinite(flops_per_chunk) else None),
       "flops_unit": "GFLOP (XLA cost analysis, whole fused iteration)",

@@ -53,6 +53,11 @@ def main():
                       help="also publish collect-policy weights to this "
                       "shm variable container every export interval "
                       "(collectors pass the same name)")
+  parser.add_argument("--force_unlink_shm", action="store_true",
+                      help="remove a pre-existing --weights_shm segment "
+                      "before creating (stale segment from a crashed "
+                      "run); without it, a live segment is an error so a "
+                      "duplicate learner can never orphan collectors")
   parser.add_argument("--log_interval_steps", type=int, default=400)
   parser.add_argument("--seed", type=int, default=0)
   parser.add_argument("--smoke", action="store_true")
@@ -125,10 +130,11 @@ def main():
   weights_vc = None
   if args.weights_shm:
     from agents_tpu.train.variable_container import VariableContainer
-    # The learner owns this name: clear any stale segment from a crashed
-    # prior run (create itself refuses to replace an existing segment so
-    # live collectors are never silently orphaned).
-    VariableContainer.unlink_name(args.weights_shm)
+    # create refuses to replace an existing segment (a duplicate learner
+    # would silently orphan collectors mmap'ed to the old one); stale
+    # segments from a crashed run are cleared only on explicit request.
+    if args.force_unlink_shm:
+      VariableContainer.unlink_name(args.weights_shm)
     weights_vc = VariableContainer(
         args.weights_shm, agent.collect_policy_params(agent_state),
         create=True)
