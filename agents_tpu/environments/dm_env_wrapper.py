@@ -111,3 +111,105 @@ class DmEnvWrapper(PyEnvironment):
     if physics is None:
       raise NotImplementedError("wrapped env exposes no physics to render")
     return physics.render(**self._render_kwargs)
+
+
+# -- outbound adapter: PyEnvironment -> dm_env ------------------------------
+
+class _DmTimeStep(tuple):
+  """Duck-typed dm_env.TimeStep (step_type, reward, discount, observation)
+  with first()/mid()/last() — used when the dm_env package is absent so
+  the outbound adapter remains importable and testable."""
+
+  def __new__(cls, step_type, reward, discount, observation):
+    return tuple.__new__(cls, (step_type, reward, discount, observation))
+
+  step_type = property(lambda self: self[0])
+  reward = property(lambda self: self[1])
+  discount = property(lambda self: self[2])
+  observation = property(lambda self: self[3])
+
+  def first(self):
+    return self.step_type == 0
+
+  def mid(self):
+    return self.step_type == 1
+
+  def last(self):
+    return self.step_type == 2
+
+
+def _to_dm_time_step(time_step: ts.TimeStep):
+  """agents_tpu TimeStep -> dm_env.TimeStep (reference
+  py_to_dm_wrapper._convert_timestep, :29-43): FIRST steps carry
+  reward=None/discount=None per the dm_env protocol."""
+  try:
+    import dm_env
+    make = dm_env.TimeStep
+    steptype = dm_env.StepType
+  except ImportError:
+    make = _DmTimeStep
+    steptype = ts.StepType
+  st = int(np.asarray(time_step.step_type))
+  if st == int(ts.StepType.FIRST):
+    return make(steptype.FIRST if hasattr(steptype, "FIRST") else 0,
+                None, None, time_step.observation)
+  dm_st = (steptype.LAST if st == int(ts.StepType.LAST)
+           else steptype.MID) if hasattr(steptype, "LAST") else st
+  return make(dm_st, np.asarray(time_step.reward),
+              np.asarray(time_step.discount), time_step.observation)
+
+
+def _to_dm_spec(spec):
+  """ArraySpec / BoundedArraySpec -> dm_env.specs (duck-typed passthrough
+  when dm_env is absent; our specs already expose shape/dtype/min/max)."""
+  try:
+    from dm_env import specs as dm_specs
+  except ImportError:
+    return spec
+  if hasattr(spec, "minimum"):
+    return dm_specs.BoundedArray(spec.shape, spec.dtype,
+                                 minimum=spec.minimum,
+                                 maximum=spec.maximum,
+                                 name=getattr(spec, "name", None))
+  return dm_specs.Array(spec.shape, spec.dtype,
+                        name=getattr(spec, "name", None))
+
+
+class PyToDmWrapper:
+  """Expose an agents_tpu PyEnvironment as a dm_env.Environment
+  (reference ``environments/py_to_dm_wrapper.PyToDMWrapper`` :86-122):
+  the outbound interop direction, so agents_tpu envs plug into dm_env
+  consumers (dm_control viewers, bsuite experiment runners)."""
+
+  def __init__(self, env: PyEnvironment):
+    self._env = env
+
+  def __getattr__(self, name):
+    return getattr(self._env, name)
+
+  def reset(self):
+    return _to_dm_time_step(self._env.reset())
+
+  def step(self, action):
+    return _to_dm_time_step(self._env.step(action))
+
+  def observation_spec(self):
+    return jax.tree_util.tree_map(_to_dm_spec,
+                                  self._env.observation_spec())
+
+  def action_spec(self):
+    return jax.tree_util.tree_map(_to_dm_spec, self._env.action_spec())
+
+  def reward_spec(self):
+    return jax.tree_util.tree_map(_to_dm_spec, self._env.reward_spec())
+
+  def discount_spec(self):
+    try:
+      from dm_env import specs as dm_specs
+      return dm_specs.BoundedArray((), np.float32, 0.0, 1.0, "discount")
+    except ImportError:
+      return array_spec.BoundedArraySpec((), np.float32, 0.0, 1.0,
+                                         "discount")
+
+  def close(self):
+    self._env.close()

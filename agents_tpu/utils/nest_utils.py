@@ -77,6 +77,21 @@ def unbatch_nested_array(nest):
   return tree_map(lambda x: jnp.squeeze(x, 0), nest)
 
 
+def unstack_nested_arrays(nest):
+  """[B, ...] nest -> list of B unbatched nests (reference
+  nest_utils.unstack_nested_arrays). Host-side (numpy) utility."""
+  import numpy as np
+  leaves, treedef = jax.tree_util.tree_flatten(nest)
+  if not leaves:
+    return []
+  b = np.shape(leaves[0])[0]
+  return [
+      jax.tree_util.tree_unflatten(
+          treedef, [np.asarray(leaf)[i] for leaf in leaves])
+      for i in range(b)
+  ]
+
+
 def batch_nested_tensors(nest, specs=None):
   """Add a leading batch dim of 1 where missing (reference :626)."""
   if specs is None:
