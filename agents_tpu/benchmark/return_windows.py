@@ -28,6 +28,8 @@ SAC_HALFCHEETAH_WINDOWS = (
     ReturnWindow(3_000_000, 12_000.0, 16_500.0),
 )
 DQN_PONG_WINDOWS = (ReturnWindow(3_000_000, -14.0, 21.0),)
+# ppo_benchmark.py:58 — HalfCheetah-v2 hard-failure limits at 1M steps.
+PPO_HALFCHEETAH_WINDOWS = (ReturnWindow(1_000_000, 2_400.0, 7_000.0),)
 CQL_HALFCHEETAH_MEDIUM_WINDOWS = (ReturnWindow(500_000, 4400.0, 5400.0),)
 # Ours: DQN CartPole must be solved quickly on-device.
 DQN_CARTPOLE_WINDOWS = (ReturnWindow(64_000, 195.0, 200.0),)
