@@ -23,6 +23,7 @@ programs (init, run-2000-iterations) executed with warmup, and reads
 metrics from device once at the end.
 """
 import json
+import os
 import sys
 import time
 
@@ -115,8 +116,10 @@ def conv_bench():
   from agents_tpu.trajectories import trajectory as tj
   from agents_tpu.utils import common
 
-  B, SAMPLE, CAPACITY = 128, 256, 512
-  env = BatchedJaxEnv(SyntheticPixels(), batch_size=B)
+  smoke = bool(os.environ.get("AGENTS_TPU_BENCH_SMOKE"))
+  B, SAMPLE, CAPACITY = (8, 16, 64) if smoke else (128, 256, 512)
+  env = BatchedJaxEnv(SyntheticPixels(size=20 if smoke else 84),
+                      batch_size=B)
   tss, asp = env.time_step_spec(), env.action_spec()
   qnet = networks.make_q_network(
       tss.observation, asp,
@@ -137,7 +140,7 @@ def conv_bench():
       lambda k: loop.init(k, initial_collect_steps=64))(jax.random.key(0))
   float(np.asarray(state.replay_state.count))  # sync init
 
-  CHUNK, N_TIMED = 100, 4
+  CHUNK, N_TIMED = (10, 2) if smoke else (100, 4)
   run_fn = jax.jit(lambda s: loop.run(s, CHUNK))
   lowered = run_fn.lower(state)
   compiled = lowered.compile()
@@ -175,7 +178,7 @@ def conv_bench():
       "flops_unit": "GFLOP (XLA cost analysis, whole fused iteration)",
       "batch_rows": B,
       "sample_batch": SAMPLE,
-      "obs_shape": "84x84x4 uint8",
+      "obs_shape": f"{env.env.size}x{env.env.size}x{env.env.frames} uint8",
       "dtype": "bfloat16 compute",
       "avg_return_last20": round(avg_return, 2),
       "peak_flops_ref": "v5e bf16 197e12",
