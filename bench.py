@@ -276,12 +276,16 @@ def main():
           # (examples/sac_halfcheetah.py). Reference: 12,096 @ 1M on
           # HalfCheetah-v2, PerfZero window [800, 16000]
           # (benchmark/sac_benchmark.py:64-75); wall-clock hours on GPU.
-          "sac_halfcheetah_1m": {
-              "greedy_eval_return_at_1m": 10140.0,
-              "collect_return_at_1m": 10095.6,
-              "wall_minutes": 36.2,
-              "note": "committed artifact (single chip + 2-core host "
-                      "MuJoCo); 24.7 min without in-loop evals",
+          "sac_halfcheetah": {
+              "greedy_eval_return_at_3m": 15864.2,
+              "greedy_eval_return_at_1m_same_run": 11944.1,
+              "wall_minutes_3m": 107.3,
+              "reference_3m": 14877.0,
+              "reference_1m_mean": 12096.0,
+              "note": "committed artifact results/sac_halfcheetah_3m_s0"
+                      ".jsonl (single chip + 2-core host MuJoCo, UTD "
+                      "1.0, greedy 30-episode evals); live throughput "
+                      "guard below",
           },
           # Third headline: Atari-scale conv path (mnih15 shapes) with
           # MFU, measured live on this chip (VERDICT r2 item 4).
