@@ -14,25 +14,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 @dataclasses.dataclass(frozen=True)
 class Config:
+  """Defaults = the schulman17 operating point exactly
+  (train_eval_lib.py:85-113 + ppo_benchmark.py:92): ONE environment,
+  2048-step rollouts, minibatch 64 x 10 epochs, gradient clipping 0.5,
+  linear LR decay to zero over 489 iterations ~= 1M transitions."""
   root_dir: str = "/tmp/agents_tpu/ppo_halfcheetah"
   env_name: str = "HalfCheetah-v5"
-  env_batch_size: int = 32
-  rollout_length: int = 128
-  num_iterations: int = 250          # ~1M transitions total
+  env_batch_size: int = 1
+  rollout_length: int = 2049         # trains on T-1 = 2048 frames
+  num_iterations: int = 489          # x 2048 ~= 1M transitions
   num_epochs: int = 10
-  num_minibatches: int = 32
+  num_minibatches: int = 32          # 2048 / 32 = minibatch 64
   learning_rate: float = 3e-4
   importance_ratio_clipping: float = 0.2
   lambda_value: float = 0.95
   discount_factor: float = 0.99
   entropy_regularization: float = 0.0
+  gradient_clipping: float = 0.5
   actor_fc_layers: tuple = (64, 64)
   value_fc_layers: tuple = (64, 64)
-  log_interval: int = 5
+  log_interval: int = 10
   # Greedy-eval protocol (reference eval: 30 episodes, greedy policy).
   num_eval_episodes: int = 30
   num_eval_envs: int = 10
-  eval_every_iterations: int = 50
+  eval_every_iterations: int = 120
   seed: int = 0
 
 
@@ -61,11 +66,21 @@ def train_eval(cfg: Config):
   lr_schedule = optax.linear_schedule(
       cfg.learning_rate, 0.0,
       cfg.num_iterations * cfg.num_epochs * cfg.num_minibatches)
+  # schulman17 actor head: state-independent std initialized at 0.35
+  # (ppo_actor_network.py:78-82 std_bias_initializer_value =
+  # log(exp(0.35) - 1) behind a softplus).
+  import functools
+  import math
+
+  from agents_tpu.networks.projection_networks import NormalProjection
+  proj = functools.partial(
+      NormalProjection,
+      std_bias_initializer_value=math.log(math.exp(0.35) - 1.0))
   agent = PPOClipAgent(
       tss, asp, optax.adam(lr_schedule, eps=1e-5),
       networks.make_actor_distribution_network(
           tss.observation, asp, fc_layer_params=cfg.actor_fc_layers,
-          activation=nn.tanh),
+          activation=nn.tanh, continuous_projection=proj),
       networks.make_value_network(tss.observation,
                                   fc_layer_params=cfg.value_fc_layers,
                                   activation=nn.tanh),
@@ -73,7 +88,8 @@ def train_eval(cfg: Config):
       discount_factor=cfg.discount_factor,
       lambda_value=cfg.lambda_value, num_epochs=cfg.num_epochs,
       num_minibatches=cfg.num_minibatches,
-      entropy_regularization=cfg.entropy_regularization)
+      entropy_regularization=cfg.entropy_regularization,
+      gradient_clipping=cfg.gradient_clipping or None)
   loop = HostOnPolicyTrainLoop(
       env, agent, rollout_length=cfg.rollout_length,
       py_metrics=[py_metrics.AverageReturnMetric(20),
