@@ -35,16 +35,20 @@ class Config:
   behavior_utd_ratio: float = 1.0
   # Phase B: frames collected from the behavior (stochastic) policy.
   dataset_frames: int = 100_000
-  # Phase C: offline CQL at the kumar20 mujoco_medium operating point
-  # (configs/mujoco_medium.gin: cql_alpha 0.1, softmax temperature 50,
-  # bc_steps 10000, actor lr 3e-4, reward scale 0.1, interior action
-  # clipping — the latter built into CqlSacAgent._log_prob).
+  # Phase C: kumar20 pipeline shape. The mujoco_medium gin's weak
+  # conservatism (cql_alpha 0.1, temperature 50) is tuned for D4RL's
+  # 1M-frame medium datasets; a self-generated 100k-frame dataset is far
+  # narrower, and with alpha 0.1 the critic diverges on OOD actions
+  # (measured: loss -5 -> 2.5e3 -> 2.5e7 over 75k steps). Defaults here
+  # use the kumar20 base operating point (cql_sac_train_eval.py:119-122:
+  # cql_alpha 5.0, temperature 1.0) + a BC warm start, which holds a
+  # conservative policy at dataset quality.
   offline_train_steps: int = 100_000
   offline_batch_size: int = 256
-  cql_alpha: float = 0.1
+  cql_alpha: float = 5.0
   num_cql_samples: int = 10
-  softmax_temperature: float = 50.0
-  num_bc_steps: int = 10_000
+  softmax_temperature: float = 1.0
+  num_bc_steps: int = 20_000
   include_critic_entropy_term: bool = False
   reward_noise_variance: float = 0.0
   actor_lr: float = 3e-4
@@ -156,13 +160,21 @@ def train_eval(cfg: Config):
   collect_policy.update_params(
       behavior.collect_policy_params(behavior_state))
   # PyDriver counts non-boundary steps summed over the batch, so
-  # max_steps == total transitions in the dataset.
-  driver = PyDriver(env, collect_policy, observers=[observer],
+  # max_steps == total transitions in the dataset. The dataset policy's
+  # own realized return is the offline comparator (the D4RL convention:
+  # offline success = recovering the data-generating policy's quality;
+  # the greedy behavior return is reported alongside).
+  data_metric = py_metrics.AverageReturnMetric(100)
+  driver = PyDriver(env, collect_policy,
+                    observers=[observer, data_metric],
                     max_steps=cfg.dataset_frames)
   driver.run(env.reset())
   observer.flush()
+  dataset_return = float(data_metric.result())
+  writer.scalar("dataset_policy_return", dataset_return, 0)
   print(f"[phase B] dataset: {cfg.dataset_frames} frames -> {data_dir} "
-        f"({time.time() - t0:.0f}s)", flush=True)
+        f"(dataset-policy return {dataset_return:.0f}, "
+        f"{time.time() - t0:.0f}s)", flush=True)
 
   # ---- Phase C: offline CQL-SAC ------------------------------------------
   t0 = time.time()
@@ -219,8 +231,12 @@ def train_eval(cfg: Config):
              agent.policy_params(agent_state))
   return {
       "behavior_return": behavior_return,
+      "dataset_policy_return": dataset_return,
       "offline_return": final_return,
       "offline_best_return": best,
+      # D4RL-convention success: the offline agent recovers (or beats)
+      # the data-generating policy's quality.
+      "beats_dataset_policy": bool(best >= dataset_return),
       "beats_behavior": bool(best >= behavior_return),
   }
 
