@@ -79,21 +79,28 @@ def sac_live_probe(seconds: float = 45.0):
       min_replay_frames=64 * B,
       py_metrics=[py_metrics.EnvironmentSteps()])
 
-  # Warm up (compile collect+train programs) with a short run, then time
-  # one longer run; each run() starts fresh but the compiled programs are
-  # reused, so the second run is steady-state almost immediately.
-  loop.run(total_env_batch_steps=96, seed=0, initial_random_steps=64)
-  ticks = max(250, int(seconds * 650 / B))  # ~`seconds` at measured rate
+  # Warm up (compile collect+train programs AND absorb the tunnel's
+  # first-execution program-load stall on the train chunk) with a run
+  # long enough that the trainer thread actually trains, then time one
+  # longer run; each run() starts fresh but compiled programs are reused.
+  loop.run(total_env_batch_steps=192, seed=0, initial_random_steps=64)
+  ticks = max(600, int(seconds * 650 / B))  # ~`seconds` at measured rate
   t0 = time.time()
   out = loop.run(total_env_batch_steps=ticks, seed=0,
                  initial_random_steps=64)
   dt = time.time() - t0
+  train_steps = int(out["train_steps"])
   return {
       "env_steps_per_s": round(ticks * B / dt, 1),
-      "train_steps": int(out["train_steps"]),
-      "utd_ratio": 1.0,
+      "train_steps_per_s": round(train_steps / dt, 1),
+      # Realized update-to-data over the window: below the 1.0 target
+      # means the trainer lagged collection (ramp or regression).
+      "utd_realized": round(train_steps / (ticks * B), 3),
       "window_s": round(dt, 1),
-      "note": "live haarnoja18 operating point, 32 MuJoCo envs on host",
+      "note": "live haarnoja18 operating point, 32 MuJoCo envs on host; "
+              "short-window utd_realized underestimates the trainer "
+              "(thread ramp) — the committed 1M/3M artifacts sustain "
+              "train_steps == env_steps (UTD 1.0) end to end",
   }
 
 
@@ -145,9 +152,30 @@ def conv_bench():
   lowered = run_fn.lower(state)
   compiled = lowered.compile()
   try:
-    flops_per_chunk = float(compiled.cost_analysis()["flops"])
+    xla_flops_per_chunk = float(compiled.cost_analysis()["flops"])
   except Exception:
-    flops_per_chunk = float("nan")
+    xla_flops_per_chunk = float("nan")
+
+  # Analytic model FLOPs (the standard MFU numerator; XLA's cost
+  # analysis undercounts convolutions by ~60x here). SAME padding,
+  # ceil(dim/stride) spatial outputs; 2 FLOPs per MAC.
+  def q_net_fwd_flops():
+    size = env.env.size
+    cin = env.env.frames
+    total = 0.0
+    for filters, kernel, stride in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+      size = -(-size // stride)  # ceil
+      total += size * size * filters * kernel * kernel * cin * 2
+      cin = filters
+    flat = size * size * cin
+    total += flat * 512 * 2          # fc
+    total += 512 * env.env.num_actions * 2
+    return total
+
+  fwd = q_net_fwd_flops()
+  # Per iteration: collect policy fwd on B rows; train = online fwd +
+  # backward (~2x fwd) + target-net fwd on the sample batch.
+  model_flops_per_iter = fwd * (B + 4 * SAMPLE)
 
   for _ in range(4):  # warmup: compile + tunnel program-load spikes
     state, losses = run_fn(state)
@@ -162,8 +190,7 @@ def conv_bench():
   iters = CHUNK * N_TIMED
   env_steps_per_s = iters * B / dt
   train_step_ms = dt / iters * 1e3
-  mfu = ((flops_per_chunk * N_TIMED / dt) / V5E_PEAK_FLOPS_BF16
-         if np.isfinite(flops_per_chunk) else None)
+  mfu = (model_flops_per_iter * iters / dt) / V5E_PEAK_FLOPS_BF16
 
   dq = jax.device_get(state.metric_states[2].deque)
   n = min(int(dq.count), dq.data.shape[0])
@@ -172,10 +199,14 @@ def conv_bench():
   return {
       "env_steps_per_s": round(env_steps_per_s, 1),
       "iteration_ms": round(train_step_ms, 3),
-      "mfu": round(mfu, 4) if mfu is not None else None,
-      "flops_per_iteration": (round(flops_per_chunk / CHUNK / 1e9, 3)
-                              if np.isfinite(flops_per_chunk) else None),
-      "flops_unit": "GFLOP (XLA cost analysis, whole fused iteration)",
+      "mfu": round(mfu, 4),
+      "model_gflop_per_iteration": round(model_flops_per_iter / 1e9, 3),
+      "xla_cost_analysis_gflop_per_iteration": (
+          round(xla_flops_per_chunk / CHUNK / 1e9, 3)
+          if np.isfinite(xla_flops_per_chunk) else None),
+      "flops_note": "MFU uses analytic model FLOPs (collect fwd + train "
+                    "fwd/bwd + target fwd); XLA cost analysis "
+                    "undercounts convs and is reported for reference",
       "batch_rows": B,
       "sample_batch": SAMPLE,
       "obs_shape": f"{env.env.size}x{env.env.size}x{env.env.frames} uint8",
