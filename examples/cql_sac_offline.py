@@ -30,8 +30,14 @@ class Config:
   root_dir: str = "/tmp/agents_tpu/cql_sac_offline"
   env_name: str = "HalfCheetah-v5"
   env_batch_size: int = 32
-  # Phase A: partially-train SAC to a medium-quality behavior policy.
-  behavior_env_steps: int = 200_000
+  # Phase A: partially-train SAC to a MEDIUM-quality behavior policy —
+  # the D4RL recipe (their "medium" = a ~1/3-trained SAC whose entropy
+  # is near the SAC target). Training to convergence instead produces a
+  # near-deterministic expert whose saturated actions make the BC/CQL
+  # actor fit fight the entropy temperature (measured: alpha climbs
+  # >1.4 and the clone stalls), exactly why D4RL generates medium data
+  # from an early policy.
+  behavior_env_steps: int = 72_000
   behavior_utd_ratio: float = 1.0
   # Phase B: frames collected from the behavior (stochastic) policy.
   dataset_frames: int = 100_000
@@ -43,7 +49,7 @@ class Config:
   # use the kumar20 base operating point (cql_sac_train_eval.py:119-122:
   # cql_alpha 5.0, temperature 1.0) + a BC warm start, which holds a
   # conservative policy at dataset quality.
-  offline_train_steps: int = 100_000
+  offline_train_steps: int = 60_000
   offline_batch_size: int = 256
   cql_alpha: float = 5.0
   num_cql_samples: int = 10
@@ -59,7 +65,7 @@ class Config:
   gamma: float = 0.99
   target_update_tau: float = 0.005
   reward_scale_factor: float = 0.1
-  eval_interval: int = 25_000     # offline gradient steps between evals
+  eval_interval: int = 15_000     # offline gradient steps between evals
   num_eval_episodes: int = 10
   num_eval_envs: int = 10
   train_steps_per_call: int = 64
