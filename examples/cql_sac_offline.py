@@ -5,8 +5,9 @@ Analogue of ``tf_agents/examples/cql_sac/kumar20/cql_sac_train_eval.py``
 dataset is self-generated — a partially-trained ("medium") SAC policy
 collects transitions which are persisted through ``utils/dataset_io``
 (the TFRecord/RLDS analogue), then a fresh ``CqlSacAgent`` trains purely
-offline from that dataset and is greedy-evaluated. Success criterion:
-the offline-trained policy beats the behavior policy's return.
+offline from that dataset and is greedy-evaluated. Success criterion
+(the D4RL convention): the offline-trained policy recovers or beats the
+data-generating policy's realized return.
 
 Pipeline shape matches the reference: dataset -> replay shards ->
 transition windows -> CQL-SAC train -> periodic greedy eval
