@@ -132,3 +132,20 @@ def test_cql_offline_recovers_dataset_policy():
         offline.append(float(rec["offline_eval_return"]))
   assert dataset_ret is not None and offline
   assert max(offline) >= 0.9 * dataset_ret, (dataset_ret, max(offline))
+
+
+def test_sac_hopper_walker_curves():
+  """SAC at the haarnoja18 operating point on the other published MuJoCo
+  tasks: Hopper (reference mean 3,323 @ 1M, examples/sac/README.md:63)
+  and Walker2d (4,966 @ 1M, :64). Reference values are 4-5-seed means on
+  v2 envs with wide seed scatter; a single v5 seed must land within the
+  normal band (>= 60% of the mean) and clearly above random."""
+  cases = (("sac_hopper_1m_s0.jsonl", 3_323.0),
+           ("sac_walker2d_1m_s0.jsonl", 4_966.0))
+  _landed(*[c[0] for c in cases])
+  for fname, ref_mean in cases:
+    evals = _evals(os.path.join(BASE, fname))
+    assert evals, f"no eval points in {fname}"
+    step, ret = evals[-1]
+    assert step >= 990_000, (fname, step)
+    assert ret >= 0.6 * ref_mean, (fname, ret, ref_mean)
