@@ -81,16 +81,18 @@ def test_ppo_halfcheetah_1m_curve():
   """PPO-Clip at the schulman17 operating point to ~1M transitions:
   inside the PerfZero hard window [2400, 7000] at 1M
   (ppo_benchmark.py:58); reference mean 4,239 (ppo/README.md:46-48)."""
+  import glob
   _landed("ppo_halfcheetah_1m_s0.jsonl")
-  path = os.path.join(BASE, "ppo_halfcheetah_1m_s0.jsonl")
-  points = read_jsonl_returns(path)
-  assert len(points) >= 20
-  result = check_windows(points, PPO_HALFCHEETAH_WINDOWS)
-  assert result[1_000_000], points[-3:]
-  evals = _evals(path)
-  assert evals and 2_400.0 <= evals[-1][1] <= 7_000.0, evals[-3:]
-  # It genuinely learned: early curve far below the final.
-  assert points[0][1] < 1_000, points[:3]
+  paths = sorted(glob.glob(os.path.join(BASE, "ppo_halfcheetah_1m_s*.jsonl")))
+  for path in paths:
+    points = read_jsonl_returns(path)
+    assert len(points) >= 20, path
+    result = check_windows(points, PPO_HALFCHEETAH_WINDOWS)
+    assert result[1_000_000], (path, points[-3:])
+    evals = _evals(path)
+    assert evals and 2_400.0 <= evals[-1][1] <= 7_000.0, (path, evals[-3:])
+    # It genuinely learned: early curve far below the final.
+    assert points[0][1] < 1_000, (path, points[:3])
 
 
 def test_dqn_cartpole_multi_seed_solved():
