@@ -244,6 +244,12 @@ class CqlSacAgent(SacAgent):
       margin = 1e-3 * (hi - lo)
       return jnp.clip(a, lo + margin, hi - margin)
 
+    if not (len(d_leaves) == len(a_leaves) == len(s_leaves)):
+      raise ValueError(
+          "action-spec / distribution / action leaf counts disagree "
+          f"({len(s_leaves)} specs, {len(d_leaves)} distributions, "
+          f"{len(a_leaves)} actions) — e.g. one joint distribution over a "
+          "nested action spec; clip-to-spec pairing would be wrong.")
     lp = d_leaves[0].log_prob(interior(a_leaves[0], s_leaves[0]))
     for d, a, s in zip(d_leaves[1:], a_leaves[1:], s_leaves[1:]):
       lp = lp + d.log_prob(interior(a, s))

@@ -141,7 +141,9 @@ class _DmTimeStep(tuple):
 def _to_dm_time_step(time_step: ts.TimeStep):
   """agents_tpu TimeStep -> dm_env.TimeStep (reference
   py_to_dm_wrapper._convert_timestep, :29-43): FIRST steps carry
-  reward=None/discount=None per the dm_env protocol."""
+  reward=0.0/discount=1.0 exactly as the reference emits them (dm_env
+  itself allows None on FIRST, but consumers ported from the reference
+  accumulate ts.reward without a None check)."""
   try:
     import dm_env
     make = dm_env.TimeStep
@@ -152,7 +154,7 @@ def _to_dm_time_step(time_step: ts.TimeStep):
   st = int(np.asarray(time_step.step_type))
   if st == int(ts.StepType.FIRST):
     return make(steptype.FIRST if hasattr(steptype, "FIRST") else 0,
-                None, None, time_step.observation)
+                np.float32(0.0), np.float32(1.0), time_step.observation)
   dm_st = (steptype.LAST if st == int(ts.StepType.LAST)
            else steptype.MID) if hasattr(steptype, "LAST") else st
   return make(dm_st, np.asarray(time_step.reward),
@@ -182,6 +184,12 @@ class PyToDmWrapper:
   consumers (dm_control viewers, bsuite experiment runners)."""
 
   def __init__(self, env: PyEnvironment):
+    if getattr(env, "batched", False) and getattr(env, "batch_size", 1) not in (
+        None, 1):
+      raise ValueError(
+          "PyToDmWrapper requires an unbatched environment (dm_env has no "
+          f"batch dimension); got batch_size={env.batch_size}. Wrap a "
+          "single underlying env instead.")
     self._env = env
 
   def __getattr__(self, name):

@@ -90,6 +90,10 @@ class Metric:
   """Base: init(batch_size) -> state; update(state, traj) -> state;
   result(state) -> scalar."""
   name: str = "metric"
+  # What result() returns: "scalar", or "counts" (a 1-D vector of
+  # per-bucket counts, e.g. ChosenActionHistogram). Summary writers route
+  # on this attribute, never on the metric's name.
+  result_kind: str = "scalar"
 
   def init(self, batch_size: int):
     raise NotImplementedError
@@ -240,6 +244,7 @@ class AverageReturnMultiMetric(Metric):
 class ChosenActionHistogram(Metric):
   """Histogram of discrete actions (tf_metrics.py:369)."""
   name = "ChosenActionHistogram"
+  result_kind = "counts"
 
   def __init__(self, num_actions: int):
     self.num_actions = num_actions

@@ -56,12 +56,29 @@ class PolicySaver:
     self.train_step = train_step
     self.metadata = metadata or {}
 
-  def save(self, export_dir: str, params):
+  def save(self, export_dir: str, params, stablehlo: bool = True):
+    """Write the full artifact: orbax params + manifest (+ by default a
+    runtime-independent StableHLO export of `action`, the SavedModel
+    analogue — see stablehlo_export.py; set stablehlo=False to skip,
+    e.g. for frequent mid-training exports where only params change)."""
     from agents_tpu.policies.registry import policy_config
     export_dir = os.path.abspath(export_dir)
     os.makedirs(export_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
       ckptr.save(os.path.join(export_dir, "params"), params, force=True)
+    stablehlo_info = None
+    if stablehlo:
+      from agents_tpu.policies import stablehlo_export
+      try:
+        stablehlo_export.export_action(self.policy, params, export_dir)
+        stablehlo_info = "batch-polymorphic"
+      except Exception:  # symbolic-shape-hostile trace: pin batch 1
+        try:
+          stablehlo_export.export_action(self.policy, params, export_dir,
+                                         batch_size=1)
+          stablehlo_info = "batch=1"
+        except Exception as e:  # policy not exportable (host callbacks...)
+          stablehlo_info = f"unavailable: {type(e).__name__}"
     manifest = {
         "time_step_spec": {
             "observation": _spec_to_json(
@@ -71,6 +88,7 @@ class PolicySaver:
         "action_spec": _spec_to_json(self.policy.action_spec),
         "train_step": int(self.train_step),
         "metadata": self.metadata,
+        "stablehlo": stablehlo_info,
         # Self-contained restore (reference SavedModel parity,
         # policy_saver.py:103): the full policy/network architecture as a
         # config, or null when the policy holds unserializable pieces —
@@ -81,10 +99,18 @@ class PolicySaver:
       json.dump(manifest, f, indent=2)
 
   def save_checkpoint(self, export_dir: str, params):
-    """Params-only refresh (reference save_checkpoint :676)."""
+    """Params-only refresh (reference save_checkpoint :676). Also
+    refreshes the StableHLO artifact's flat-params npz (no re-export
+    needed — the exported module takes params as arguments)."""
+    export_dir = os.path.abspath(export_dir)
     with ocp.StandardCheckpointer() as ckptr:
-      ckptr.save(os.path.join(os.path.abspath(export_dir), "params"),
-                 params, force=True)
+      ckptr.save(os.path.join(export_dir, "params"), params, force=True)
+    from agents_tpu.policies import stablehlo_export
+    if os.path.exists(os.path.join(export_dir,
+                                   stablehlo_export.ACTION_BLOB)):
+      flat = jax.tree_util.tree_leaves(params)
+      np.savez(os.path.join(export_dir, stablehlo_export.PARAMS_NPZ),
+               **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
 
 
 class SavedPolicy:

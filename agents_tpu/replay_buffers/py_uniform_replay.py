@@ -2,7 +2,10 @@
 
 Analogues of ``tf_agents/replay_buffers/py_uniform_replay_buffer.py``
 (numpy ring) and ``py_hashed_replay_buffer.py`` (frame-deduplicating
-storage for Atari memory savings).
+storage for Atari memory savings). These are the host-RAM answer to
+Atari-scale capacities (1M frames of 84x84x4 uint8 = 28 GB raw — too
+large for v5e HBM next to the nets): frames live here, sampled batches
+move to the device per train step.
 """
 from __future__ import annotations
 
@@ -41,23 +44,42 @@ class PyUniformReplayBuffer:
       self._count += 1
 
   def add_batch(self, items):
-    leaves = jax.tree_util.tree_leaves(items)
+    """Vectorized contiguous ring write (wraparound-split into at most
+    two slice copies per leaf) — a batch of B frames is B rows of one
+    memcpy, not B python-level add() calls."""
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(items)]
     b = leaves[0].shape[0]
-    for i in range(b):
-      self.add(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], items))
+    if b > self.capacity:  # only the last `capacity` rows survive anyway
+      leaves = [x[-self.capacity:] for x in leaves]
+      skipped, b = b - self.capacity, self.capacity
+    else:
+      skipped = 0
+    with self._lock:
+      self._count += skipped
+      start = self._count % self.capacity
+      n1 = min(b, self.capacity - start)
+      slots = jax.tree_util.tree_leaves(self._storage)
+      for slot, leaf in zip(slots, leaves):
+        slot[start:start + n1] = leaf[:n1]
+        if n1 < b:
+          slot[:b - n1] = leaf[n1:]
+      self._count += b
+
+  def _sample_indices(self, batch_size, num_steps, rng):
+    rng = rng or np.random
+    size = len(self)
+    n = num_steps or 1
+    lo = self._count - size
+    hi = self._count - n + 1
+    if hi <= lo:
+      raise ValueError("Not enough frames to sample")
+    t0 = rng.randint(lo, hi, size=batch_size)
+    return (t0[:, None] + np.arange(n)[None, :]) % self.capacity
 
   def sample(self, batch_size: int, num_steps: Optional[int] = None,
              rng: Optional[np.random.RandomState] = None):
-    rng = rng or np.random
     with self._lock:
-      size = len(self)
-      n = num_steps or 1
-      lo = self._count - size
-      hi = self._count - n + 1
-      if hi <= lo:
-        raise ValueError("Not enough frames to sample")
-      t0 = rng.randint(lo, hi, size=batch_size)
-      idx = (t0[:, None] + np.arange(n)[None, :]) % self.capacity
+      idx = self._sample_indices(batch_size, num_steps, rng)
       out = jax.tree_util.tree_map(lambda s: s[idx], self._storage)
       if num_steps is None:
         out = jax.tree_util.tree_map(lambda x: x[:, 0], out)
@@ -77,37 +99,108 @@ class PyUniformReplayBuffer:
 
 class PyHashedReplayBuffer(PyUniformReplayBuffer):
   """Deduplicates identical observation frames by content hash: repeated
-  Atari frames store one copy (reference py_hashed_replay_buffer.py)."""
+  Atari frames store ONE copy (reference py_hashed_replay_buffer.py —
+  with FrameStack4, consecutive stacks share 3 of 4 planes when stacking
+  is done at sample time; here dedup is at whole-observation granularity,
+  which collapses e.g. repeated still frames).
+
+  Observations are NOT in the dense ring: the ring stores a pool index
+  per slot and the pool keeps one copy per distinct frame; `sample`
+  reconstructs observations from the pool."""
 
   def __init__(self, data_spec, capacity: int):
-    super().__init__(data_spec, capacity)
-    # observation stored as indices into a dedup pool.
+    self.data_spec = data_spec
+    self.capacity = capacity
+    self._lock = threading.Lock()
+    # Dense ring for everything EXCEPT the observation.
+    self._obs_field = ("observation" if hasattr(data_spec, "observation")
+                       else "observation")
+    rest_spec = (data_spec.replace(observation=())
+                 if hasattr(data_spec, "replace")
+                 else {k: v for k, v in data_spec.items()
+                       if k != "observation"})
+    self._storage = array_spec.map_spec_nest(
+        lambda s: np.zeros((capacity,) + s.shape, s.dtype), rest_spec)
+    self._count = 0
     self._pool: dict = {}
     self._pool_list: list = []
     self._obs_idx = np.zeros((capacity,), np.int64)
-    obs_spec = data_spec.observation if hasattr(data_spec, "observation") \
-        else data_spec["observation"]
-    self._obs_spec = obs_spec
-    # Remove observation array from dense storage.
+
+  @staticmethod
+  def _get_obs(item):
+    return (item.observation if hasattr(item, "observation")
+            else item["observation"])
+
+  @staticmethod
+  def _strip_obs(item):
+    return (item.replace(observation=()) if hasattr(item, "replace")
+            else {k: v for k, v in item.items() if k != "observation"})
+
+  def _pool_insert(self, obs: np.ndarray) -> int:
+    h = hashlib.blake2b(obs.tobytes(), digest_size=16).digest()
+    pool_idx = self._pool.get(h)
+    if pool_idx is None:
+      pool_idx = len(self._pool_list)
+      self._pool[h] = pool_idx
+      self._pool_list.append(obs.copy())
+    return pool_idx
 
   def add(self, item):
-    obs = np.asarray(
-        item.observation if hasattr(item, "observation")
-        else item["observation"])
-    h = hashlib.blake2b(obs.tobytes(), digest_size=16).digest()
+    obs = np.asarray(self._get_obs(item))
+    rest = self._strip_obs(item)
     with self._lock:
-      if h not in self._pool:
-        self._pool[h] = len(self._pool_list)
-        self._pool_list.append(obs.copy())
-      pool_idx = self._pool[h]
       idx = self._count % self.capacity
-      leaves = jax.tree_util.tree_leaves(item)
-      slots = jax.tree_util.tree_leaves(self._storage)
-      for slot, leaf in zip(slots, leaves):
+      for slot, leaf in zip(jax.tree_util.tree_leaves(self._storage),
+                            jax.tree_util.tree_leaves(rest)):
         slot[idx] = np.asarray(leaf)
-      self._obs_idx[idx] = pool_idx
+      self._obs_idx[idx] = self._pool_insert(obs)
       self._count += 1
+
+  def add_batch(self, items):
+    obs = np.asarray(self._get_obs(items))
+    rest = self._strip_obs(items)
+    b = obs.shape[0]
+    with self._lock:
+      for i in range(b):
+        idx = self._count % self.capacity
+        for slot, leaf in zip(jax.tree_util.tree_leaves(self._storage),
+                              jax.tree_util.tree_leaves(rest)):
+          slot[idx] = np.asarray(leaf)[i]
+        self._obs_idx[idx] = self._pool_insert(obs[i])
+        self._count += 1
+
+  def sample(self, batch_size: int, num_steps: Optional[int] = None,
+             rng: Optional[np.random.RandomState] = None):
+    with self._lock:
+      idx = self._sample_indices(batch_size, num_steps, rng)
+      rest = jax.tree_util.tree_map(lambda s: s[idx], self._storage)
+      flat = idx.reshape(-1)
+      obs = np.stack([self._pool_list[self._obs_idx[i]] for i in flat])
+      obs = obs.reshape(idx.shape + obs.shape[1:])
+      if hasattr(rest, "replace"):
+        out = rest.replace(observation=obs)
+      else:
+        out = dict(rest, observation=obs)
+      if num_steps is None:
+        out = jax.tree_util.tree_map(lambda x: x[:, 0], out)
+      return out
+
+  def gather_all(self):
+    with self._lock:
+      size = len(self)
+      start = (self._count - size) % self.capacity
+      order = (np.arange(size) + start) % self.capacity
+      rest = jax.tree_util.tree_map(lambda s: s[order], self._storage)
+      obs = np.stack([self._pool_list[self._obs_idx[i]] for i in order]) \
+          if size else np.zeros((0,))
+      if hasattr(rest, "replace"):
+        return rest.replace(observation=obs)
+      return dict(rest, observation=obs)
 
   @property
   def num_unique_observations(self):
     return len(self._pool_list)
+
+  @property
+  def observation_bytes_stored(self):
+    return sum(o.nbytes for o in self._pool_list)

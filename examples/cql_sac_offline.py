@@ -50,6 +50,16 @@ class Config:
   # use the kumar20 base operating point (cql_sac_train_eval.py:119-122:
   # cql_alpha 5.0, temperature 1.0) + a BC warm start, which holds a
   # conservative policy at dataset quality.
+  # Dataset composition: "medium" = all frames from the final (medium)
+  # behavior snapshot (the round-3 recovery demonstration);
+  # "mixed" = medium-REPLAY-style (the D4RL *-medium-replay recipe and
+  # the reference's published CQL value proposition,
+  # cql_sac/README.md:200-209): frames from the whole behavior-training
+  # history — random policy + early/mid/final snapshots — where offline
+  # CQL must BEAT the best behavior policy, not just recover it.
+  dataset_mix: str = "medium"
+  mixed_random_fraction: float = 0.2
+  snapshot_fractions: tuple = (1 / 3, 2 / 3, 1.0)
   offline_train_steps: int = 60_000
   offline_batch_size: int = 256
   cql_alpha: float = 5.0
@@ -146,42 +156,102 @@ def train_eval(cfg: Config):
       train_steps_per_call=32, utd_ratio=cfg.behavior_utd_ratio,
       min_replay_frames=256 * cfg.env_batch_size,
       py_metrics=[py_metrics.AverageReturnMetric(20)])
+
+  # In "mixed" mode, snapshot the collect-policy params at fractions of
+  # the behavior run — the D4RL medium-replay recipe (data from the
+  # whole training history, not just the final policy).
+  snapshots = []
+  snap_at = ([int(f * cfg.behavior_env_steps)
+              for f in cfg.snapshot_fractions]
+             if cfg.dataset_mix == "mixed" else [])
+
+  def snapshot_progress(l):
+    if snap_at and len(snapshots) < len(snap_at) \
+        and l._env_steps >= snap_at[len(snapshots)]:
+      snapshots.append(jax.device_get(
+          behavior.collect_policy_params(l._agent_state)))
+
   out = loop.run(
       total_env_batch_steps=cfg.behavior_env_steps // cfg.env_batch_size,
-      seed=cfg.seed, initial_random_steps=256)
+      seed=cfg.seed, initial_random_steps=256,
+      progress_fn=snapshot_progress if snap_at else None,
+      progress_every=64)
   behavior_state = out["agent_state"]
+  if snap_at and len(snapshots) < len(snap_at):
+    snapshots.append(jax.device_get(
+        behavior.collect_policy_params(behavior_state)))
   behavior_return = greedy_eval(behavior, behavior_state)
   print(f"[phase A] behavior policy @ {cfg.behavior_env_steps} env steps: "
         f"greedy return {behavior_return:.0f} "
         f"({time.time() - t0:.0f}s)", flush=True)
   writer.scalar("behavior_return", behavior_return, 0)
 
-  # ---- Phase B: persist a medium-quality dataset -------------------------
+  # ---- Phase B: persist the dataset --------------------------------------
   t0 = time.time()
   data_dir = os.path.join(cfg.root_dir, "dataset")
   data_spec = tj.trajectory_spec(tss, asp)
   observer = dataset_io.TrajectoryFileObserver(data_dir, data_spec,
                                                frames_per_shard=1024)
-  collect_policy = JittedPyPolicy(behavior.collect_policy,
-                                  seed=cfg.seed + 1)
-  collect_policy.update_params(
-      behavior.collect_policy_params(behavior_state))
-  # PyDriver counts non-boundary steps summed over the batch, so
-  # max_steps == total transitions in the dataset. The dataset policy's
-  # own realized return is the offline comparator (the D4RL convention:
-  # offline success = recovering the data-generating policy's quality;
-  # the greedy behavior return is reported alongside).
-  data_metric = py_metrics.AverageReturnMetric(100)
-  driver = PyDriver(env, collect_policy,
-                    observers=[observer, data_metric],
-                    max_steps=cfg.dataset_frames)
-  driver.run(env.reset())
-  observer.flush()
-  dataset_return = float(data_metric.result())
-  writer.scalar("dataset_policy_return", dataset_return, 0)
-  print(f"[phase B] dataset: {cfg.dataset_frames} frames -> {data_dir} "
-        f"(dataset-policy return {dataset_return:.0f}, "
-        f"{time.time() - t0:.0f}s)", flush=True)
+
+  def collect(policy, frames, label):
+    """Drive `policy` for `frames` transitions into the dataset; return
+    its realized (stochastic-rollout) return."""
+    m = py_metrics.AverageReturnMetric(100)
+    PyDriver(env, policy, observers=[observer, m],
+             max_steps=frames).run(env.reset())
+    ret = float(m.result())
+    print(f"[phase B] {label}: {frames} frames "
+          f"(realized return {ret:.0f})", flush=True)
+    return ret
+
+  if cfg.dataset_mix == "mixed":
+    from agents_tpu.policies.random_policy import RandomPolicy
+    n_random = int(cfg.mixed_random_fraction * cfg.dataset_frames)
+    n_each = (cfg.dataset_frames - n_random) // max(len(snapshots), 1)
+    collect(JittedPyPolicy(RandomPolicy(tss, asp), seed=cfg.seed + 11),
+            n_random, "random policy")
+    snap_greedy, snap_realized = [], []
+    for i, params in enumerate(snapshots):
+      pol = JittedPyPolicy(behavior.collect_policy, seed=cfg.seed + 21 + i)
+      pol.update_params(params)
+      snap_realized.append(
+          collect(pol, n_each, f"snapshot {i} "
+                  f"(@{snap_at[i] if i < len(snap_at) else 'end'})"))
+      gpol = JittedPyPolicy(behavior.policy)
+      gpol.update_params(params)
+      res = metric_utils.compute(
+          [py_metrics.AverageReturnMetric(cfg.num_eval_episodes)],
+          eval_env, gpol, num_episodes=cfg.num_eval_episodes)
+      snap_greedy.append(float(res["AverageReturn"]))
+    observer.flush()
+    # The comparator the mixed-mode criterion must BEAT: the best
+    # behavior policy in the dataset, measured at its greedy best.
+    behavior_best = max([behavior_return] + snap_greedy)
+    dataset_return = max(snap_realized)
+    writer.scalar("behavior_best_return", behavior_best, 0)
+    writer.scalar("dataset_policy_return", dataset_return, 0)
+    print(f"[phase B] mixed dataset: {cfg.dataset_frames} frames -> "
+          f"{data_dir} (behavior-best greedy {behavior_best:.0f}, "
+          f"snapshot greedy {['%.0f' % g for g in snap_greedy]}, "
+          f"{time.time() - t0:.0f}s)", flush=True)
+  else:
+    collect_policy = JittedPyPolicy(behavior.collect_policy,
+                                    seed=cfg.seed + 1)
+    collect_policy.update_params(
+        behavior.collect_policy_params(behavior_state))
+    # PyDriver counts non-boundary steps summed over the batch, so
+    # max_steps == total transitions in the dataset. The dataset policy's
+    # own realized return is the offline comparator (the D4RL convention:
+    # offline success = recovering the data-generating policy's quality;
+    # the greedy behavior return is reported alongside).
+    dataset_return = collect(collect_policy, cfg.dataset_frames,
+                             "medium policy")
+    behavior_best = behavior_return
+    observer.flush()
+    writer.scalar("dataset_policy_return", dataset_return, 0)
+    print(f"[phase B] dataset: {cfg.dataset_frames} frames -> {data_dir} "
+          f"(dataset-policy return {dataset_return:.0f}, "
+          f"{time.time() - t0:.0f}s)", flush=True)
 
   # ---- Phase C: offline CQL-SAC ------------------------------------------
   t0 = time.time()
@@ -238,13 +308,16 @@ def train_eval(cfg: Config):
              agent.policy_params(agent_state))
   return {
       "behavior_return": behavior_return,
+      "behavior_best_return": behavior_best,
       "dataset_policy_return": dataset_return,
       "offline_return": final_return,
       "offline_best_return": best,
-      # D4RL-convention success: the offline agent recovers (or beats)
-      # the data-generating policy's quality.
-      "beats_dataset_policy": bool(best >= dataset_return),
-      "beats_behavior": bool(best >= behavior_return),
+      # D4RL-convention success: "medium" mode = the offline agent
+      # recovers the data-generating policy's quality (final eval, not
+      # best-ever); "mixed" mode = it clearly BEATS the best behavior
+      # policy in the dataset.
+      "recovers_dataset_policy": bool(final_return >= 0.9 * dataset_return),
+      "beats_behavior_best": bool(final_return >= 1.1 * behavior_best),
   }
 
 

@@ -18,7 +18,10 @@ from agents_tpu.utils.observers import BatchedObserverUnbatching
 def test_py_to_dm_wrapper_protocol():
   env = PyToDmWrapper(CountingPyEnv(steps_per_episode=3))
   first = env.reset()
-  assert first.first() and first.reward is None and first.discount is None
+  # FIRST carries reward=0.0/discount=1.0 exactly as the reference's
+  # py_to_dm_wrapper._convert_timestep does (:29-43).
+  assert first.first()
+  assert float(first.reward) == 0.0 and float(first.discount) == 1.0
   steps = [env.step(0) for _ in range(3)]
   assert steps[-1].last()
   assert all(s.mid() for s in steps[:-1])
@@ -27,6 +30,16 @@ def test_py_to_dm_wrapper_protocol():
   # specs pass through (duck-typed when dm_env absent)
   ospec = env.observation_spec()
   assert tuple(np.shape(np.zeros(ospec.shape))) == tuple(ospec.shape)
+
+
+def test_py_to_dm_wrapper_rejects_batched_env():
+  import pytest
+  from agents_tpu.environments.batched_py_environment import (
+      BatchedPyEnvironment,)
+  batched = BatchedPyEnvironment(
+      [CountingPyEnv(steps_per_episode=3) for _ in range(2)])
+  with pytest.raises(ValueError, match="unbatched"):
+    PyToDmWrapper(batched)
 
 
 def test_one_hot_action_jax_wrapper():

@@ -75,6 +75,42 @@ def test_py_hashed_replay_dedups():
   for i in range(10):
     buf.add({"observation": frame, "action": np.asarray(i, np.int32)})
   assert buf.num_unique_observations == 1
+  # Dedup actually saves memory: 10 frames, ONE stored copy (4 bytes).
+  assert buf.observation_bytes_stored == 4
+  # Sampling reconstructs observations from the pool.
+  out = buf.sample(8, rng=np.random.RandomState(0))
+  np.testing.assert_array_equal(out["observation"],
+                                np.ones((8, 4), np.uint8))
+  assert out["action"].max() < 10
+
+
+def test_py_hashed_replay_distinct_frames_roundtrip():
+  spec = {"observation": specs.ArraySpec((3,), np.uint8),
+          "action": specs.ArraySpec((), np.int32)}
+  buf = PyHashedReplayBuffer(spec, 8)
+  for i in range(12):  # wraps the ring; 12 distinct frames, pool keeps all
+    buf.add({"observation": np.full(3, i, np.uint8),
+             "action": np.asarray(i, np.int32)})
+  out = buf.sample(32, rng=np.random.RandomState(1))
+  # observation content must match the action written with it
+  np.testing.assert_array_equal(
+      out["observation"], np.repeat(out["action"].astype(np.uint8)[:, None],
+                                    3, axis=1))
+  ga = buf.gather_all()
+  np.testing.assert_array_equal(ga["action"], np.arange(4, 12))
+  np.testing.assert_array_equal(ga["observation"][:, 0],
+                                np.arange(4, 12).astype(np.uint8))
+
+
+def test_py_uniform_add_batch_vectorized_wraparound():
+  spec = {"x": specs.ArraySpec((), np.int32)}
+  buf = PyUniformReplayBuffer(spec, 10)
+  buf.add_batch({"x": np.arange(6, dtype=np.int32)})
+  buf.add_batch({"x": np.arange(6, 12, dtype=np.int32)})  # wraps
+  np.testing.assert_array_equal(buf.gather_all()["x"], np.arange(2, 12))
+  # batch larger than capacity keeps only the trailing `capacity` rows
+  buf.add_batch({"x": np.arange(100, 125, dtype=np.int32)})
+  np.testing.assert_array_equal(buf.gather_all()["x"], np.arange(115, 125))
 
 
 def test_dataset_io_roundtrip(tmp_path):
