@@ -111,6 +111,13 @@ class PolicySaver:
       flat = jax.tree_util.tree_leaves(params)
       np.savez(os.path.join(export_dir, stablehlo_export.PARAMS_NPZ),
                **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
+    manifest_path = os.path.join(export_dir, "policy_manifest.json")
+    if os.path.exists(manifest_path):
+      with open(manifest_path) as f:
+        manifest = json.load(f)
+      manifest["train_step"] = int(self.train_step)
+      with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
 
 
 class SavedPolicy:

@@ -87,6 +87,8 @@ class PolicyCheckpointTrigger(IntervalTrigger):
     self.checkpointer = checkpointer
     self._saver_cls = PolicySaver
 
+    self._exported_once = set()
+
     def _fire():
       agent_state = self.get_agent_state()
       step = int(agent_state.train_step)
@@ -104,7 +106,16 @@ class PolicyCheckpointTrigger(IntervalTrigger):
       )
       for name, policy, params in exports:
         saver = self._saver_cls(policy, train_step=step)
-        saver.save(os.path.join(root_dir, "policies", name), params)
+        out_dir = os.path.join(root_dir, "policies", name)
+        if name in self._exported_once:
+          # Params-only refresh: the StableHLO module takes params as
+          # arguments, so repeated triggers never re-trace/re-export
+          # (the reference's checkpoint-only trigger updates,
+          # triggers.py:40 save_fingerprint path).
+          saver.save_checkpoint(out_dir, params)
+        else:
+          saver.save(out_dir, params)
+          self._exported_once.add(name)
       if self.checkpointer is not None:
         self.checkpointer.save(step, agent_state)
 

@@ -131,6 +131,43 @@ def test_params_refresh_without_reexport(tmp_path):
   np.testing.assert_array_equal(got, expected_p2)
 
 
+def test_recurrent_q_policy_state_threading(tmp_path):
+  """LSTM policy export: the flat_state group carries the recurrent
+  carry through the exported module; state must change across steps and
+  the two-step action sequence must match the in-framework policy."""
+  qrnn = networks.make_q_rnn_network(OBS, DISC_ACT,
+                                     input_fc_layer_params=(8,),
+                                     lstm_size=8)
+  policy = GreedyPolicy(QPolicy(TSS, DISC_ACT, qrnn))
+  params = qrnn.init_params(jax.random.key(4))
+  export = str(tmp_path / "export_rnn")
+  PolicySaver(policy).save(export, params)
+  manifest = json.load(open(os.path.join(export, "exported_manifest.json")))
+  assert manifest["state_leaves"], "LSTM state missing from manifest"
+
+  rng = np.random.RandomState(4)
+  obs1 = rng.randn(3, 4).astype(np.float32)
+  obs2 = rng.randn(3, 4).astype(np.float32)
+  obs2_path = os.path.join(str(tmp_path), "obs2.npy")
+  np.save(obs2_path, obs2)
+  # in-framework two-step rollout (MID steps so state is carried)
+  def mk(o):
+    return ts.TimeStep(step_type=np.ones((3,), np.int32),
+                       reward=np.zeros((3,), np.float32),
+                       discount=np.ones((3,), np.float32), observation=o)
+  st = policy.init_state(3)
+  s1 = policy.action(params, mk(obs1), st, jax.random.key(0))
+  s2 = policy.action(params, mk(obs2), s1.state, jax.random.key(0))
+  exp_actions = np.stack([np.asarray(s1.action), np.asarray(s2.action)])
+
+  extra = (f"obs2 = np.load({obs2_path!r})\n"
+           "      acts2, state2 = policy.action([obs2], state=state)\n"
+           "      assert any(np.abs(a).sum() > 0 for a in state)\n"
+           "      acts = [np.stack([acts[0], acts2[0]])]")
+  (got,) = _run_bare_child(export, obs1, tmp_path, extra=extra)
+  np.testing.assert_array_equal(got, exp_actions)
+
+
 def test_stochastic_policy_exports_and_samples(tmp_path):
   """A stochastic (collect) policy exports too; the key is an explicit
   uint32[2] argument; sampled actions respect the bounded spec."""
