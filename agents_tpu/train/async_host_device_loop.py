@@ -111,6 +111,15 @@ class AsyncHostDeviceTrainLoop:
     rng = np.random.RandomState(seed)
     self._agent_state = self.agent.init(jax.random.key(seed))
     self._replay_state = self.replay.init()
+    # Each run() is a fresh training session: revive the stop flag and
+    # zero the counters. (Without this, every run() after the first had
+    # a trainer thread that exited instantly on the still-set stop event
+    # and carried-over step counters — invisible to single-run training
+    # binaries, fatal to anything that calls run() twice, e.g. a warmup
+    # + timed benchmark probe.)
+    self._stop.clear()
+    self._env_steps = 0
+    self._train_steps = 0
     key = jax.random.key(seed + 1)
 
     time_step = self.env.reset()

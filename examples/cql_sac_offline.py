@@ -42,14 +42,18 @@ class Config:
   behavior_utd_ratio: float = 1.0
   # Phase B: frames collected from the behavior (stochastic) policy.
   dataset_frames: int = 100_000
-  # Phase C: kumar20 pipeline shape. The mujoco_medium gin's weak
-  # conservatism (cql_alpha 0.1, temperature 50) is tuned for D4RL's
-  # 1M-frame medium datasets; a self-generated 100k-frame dataset is far
-  # narrower, and with alpha 0.1 the critic diverges on OOD actions
-  # (measured: loss -5 -> 2.5e3 -> 2.5e7 over 75k steps). Defaults here
-  # use the kumar20 base operating point (cql_sac_train_eval.py:119-122:
-  # cql_alpha 5.0, temperature 1.0) + a BC warm start, which holds a
-  # conservative policy at dataset quality.
+  # Phase C: kumar20 pipeline shape. Conservatism must match dataset
+  # breadth (both measured on this rig):
+  #  - narrow single-policy "medium" dataset (100k frames): the
+  #    mujoco_medium gin's weak conservatism (cql_alpha 0.1,
+  #    temperature 50) diverges on OOD actions (loss -5 -> 2.5e3 ->
+  #    2.5e7 over 75k steps); the stable point is the kumar20 base
+  #    (cql_alpha 5.0, temperature 1.0) + BC warm start -> recovery.
+  #  - broad "mixed" medium-replay dataset (200k frames, random +
+  #    snapshots): the reference medium gin IS right — alpha 0.1/
+  #    temp 50/500k steps reached greedy 4,218 vs behavior-best 2,871
+  #    (1.42x), while alpha 2.0/temp 1.0 peaked at 1,122 then
+  #    collapsed (results/cql_sac_offline_mixed*.jsonl).
   # Dataset composition: "medium" = all frames from the final (medium)
   # behavior snapshot (the round-3 recovery demonstration);
   # "mixed" = medium-REPLAY-style (the D4RL *-medium-replay recipe and
@@ -60,6 +64,11 @@ class Config:
   dataset_mix: str = "medium"
   mixed_random_fraction: float = 0.2
   snapshot_fractions: tuple = (1 / 3, 2 / 3, 1.0)
+  # Reuse a previous run's phases A+B (dataset + comparator returns):
+  # path to its root_dir. Offline hyperparameter sweeps then rerun only
+  # phase C against the identical dataset (the D4RL situation: datasets
+  # are fixed, algorithms sweep).
+  reuse_phase_ab: str = ""
   offline_train_steps: int = 60_000
   offline_batch_size: int = 256
   cql_alpha: float = 5.0
@@ -145,6 +154,32 @@ def train_eval(cfg: Config):
         [py_metrics.AverageReturnMetric(cfg.num_eval_episodes)],
         eval_env, pol, num_episodes=cfg.num_eval_episodes)
     return float(res["AverageReturn"])
+
+  if cfg.reuse_phase_ab:
+    import shutil
+    src = os.path.abspath(cfg.reuse_phase_ab)
+    data_dir = os.path.join(cfg.root_dir, "dataset")
+    if not os.path.exists(data_dir):
+      shutil.copytree(os.path.join(src, "dataset"), data_dir)
+    behavior_return = behavior_best = dataset_return = None
+    with open(os.path.join(src, "offline.jsonl")) as f:
+      for line in f:
+        rec = json.loads(line)
+        behavior_return = rec.get("behavior_return", behavior_return)
+        behavior_best = rec.get("behavior_best_return", behavior_best)
+        dataset_return = rec.get("dataset_policy_return", dataset_return)
+    behavior_best = behavior_best if behavior_best is not None \
+        else behavior_return
+    assert dataset_return is not None, "source run lacks comparators"
+    writer.scalar("behavior_return", behavior_return, 0)
+    writer.scalar("behavior_best_return", behavior_best, 0)
+    writer.scalar("dataset_policy_return", dataset_return, 0)
+    print(f"[phase A/B] reused from {src}: behavior_best "
+          f"{behavior_best:.0f}, dataset return {dataset_return:.0f}",
+          flush=True)
+    return _phase_c(cfg, tss, asp, env, eval_env, greedy_eval, writer,
+                    data_dir, behavior_return, behavior_best,
+                    dataset_return)
 
   # ---- Phase A: behavior policy (partially-trained SAC) ------------------
   t0 = time.time()
@@ -253,7 +288,22 @@ def train_eval(cfg: Config):
           f"(dataset-policy return {dataset_return:.0f}, "
           f"{time.time() - t0:.0f}s)", flush=True)
 
-  # ---- Phase C: offline CQL-SAC ------------------------------------------
+  return _phase_c(cfg, tss, asp, env, eval_env, greedy_eval, writer,
+                  data_dir, behavior_return, behavior_best, dataset_return)
+
+
+def _phase_c(cfg, tss, asp, env, eval_env, greedy_eval, writer, data_dir,
+             behavior_return, behavior_best, dataset_return):
+  """Offline CQL-SAC over a persisted dataset (kumar20 pipeline)."""
+  import jax
+  import numpy as np
+
+  from agents_tpu.policies.policy_saver import PolicySaver
+  from agents_tpu.replay_buffers import UniformReplay
+  from agents_tpu.trajectories import trajectory as tj
+  from agents_tpu.utils import dataset_io
+
+  data_spec = tj.trajectory_spec(tss, asp)
   t0 = time.time()
   agent = _make_sac(cfg, tss, asp, cql=True)
   offline_rows = cfg.env_batch_size
