@@ -142,10 +142,19 @@ def conv_bench(max_length: int = 2048):
 
   Batch sweep on the chip (B rows x train sample): 128x256 = 17.0% MFU
   @ 1.10 ms/iter, 128x512 = 19.5%, 256x1024 = 19.1%, 128x2048 = 19.9%
-  (301k train-frames/s). MFU plateaus ~20% — intrinsic to mnih15's
-  shapes (4/32/64 input channels under-fill the 128-lane MXU; the fc
-  layer is only a quarter of the FLOPs). The headline uses sample 256,
-  the cadence-realistic setting."""
+  (301k train-frames/s). The ~20% plateau is now PROFILED
+  (benchmark/profile_conv.py -> benchmark/profiles/conv_profile.json):
+  each component run standalone (policy fwd / env step / replay sample /
+  train step) costs 0.83-0.87 ms while the whole fused iteration is
+  1.84 ms — i.e. a ~0.7-0.8 ms per-program dispatch floor dominates
+  programs this small (pure model FLOPs at peak would take 0.19 ms), so
+  the plateau is dispatch-bound at mnih15 scale with channel underfill
+  second-order; larger train samples amortize it (19.9% at sample
+  2048). The profile-suggested optimization (space-to-depth packing of
+  the 4-channel first conv into 64 channels) measured 1.015x fused —
+  REJECTED as below the 5% bar; the negative result is recorded in the
+  profile JSON. The headline uses sample 256, the cadence-realistic
+  setting."""
   import optax
 
   from agents_tpu import metrics, networks
