@@ -11,7 +11,6 @@ import os
 import numpy as np
 import pytest
 
-os.environ.setdefault("MUJOCO_GL", "egl")  # headless rendering backend
 dm_control = pytest.importorskip("dm_control")
 
 from agents_tpu.environments import suite_dm_control
@@ -69,14 +68,33 @@ def test_round_trip_through_py_to_dm_wrapper():
 
 def test_load_pixels_renders_uint8_observations():
   """Pixel-observation variant (reference suite_dm_control.load_pixels):
-  EGL headless rendering to a uint8 image dict."""
-  env = suite_dm_control.load_pixels(
-      "cartpole", "balance", render_kwargs={"width": 32, "height": 32})
-  first = env.reset()
-  px = first.observation["pixels"]
-  assert px.shape == (32, 32, 3) and px.dtype == np.uint8
-  spec = env.observation_spec()["pixels"]
-  assert tuple(spec.shape) == (32, 32, 3) and spec.dtype == np.uint8
+  EGL headless rendering to a uint8 image dict. Runs in a subprocess —
+  loading EGL into the suite's process corrupts later C-extension
+  imports (observed: segfault importing TensorBoard's compiled deps)."""
+  import subprocess
+  import sys
+  child = """
+import os
+os.environ["MUJOCO_GL"] = "egl"
+import numpy as np
+from agents_tpu.environments import suite_dm_control
+env = suite_dm_control.load_pixels(
+    "cartpole", "balance", render_kwargs={"width": 32, "height": 32})
+first = env.reset()
+px = first.observation["pixels"]
+assert px.shape == (32, 32, 3) and px.dtype == np.uint8, (px.shape, px.dtype)
+spec = env.observation_spec()["pixels"]
+assert tuple(spec.shape) == (32, 32, 3) and spec.dtype == np.uint8
+print("PIXELS_OK")
+"""
+  env_vars = dict(os.environ)
+  env_vars.pop("PALLAS_AXON_POOL_IPS", None)
+  env_vars["JAX_PLATFORMS"] = "cpu"
+  out = subprocess.run(
+      [sys.executable, "-c", child], capture_output=True, text=True,
+      timeout=300, env=env_vars,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  assert "PIXELS_OK" in out.stdout, (out.stdout[-500:], out.stderr[-1500:])
 
 
 def test_dm_control_trains_ddpg_smoke():
