@@ -184,12 +184,14 @@ class PyToDmWrapper:
   consumers (dm_control viewers, bsuite experiment runners)."""
 
   def __init__(self, env: PyEnvironment):
-    if getattr(env, "batched", False) and getattr(env, "batch_size", 1) not in (
-        None, 1):
+    if getattr(env, "batched", False):
+      # Even batch_size==1 emits a leading (1,) dim on every leaf while
+      # the specs stay per-env — a dm_env consumer validating
+      # observations against observation_spec() would fail on shape.
       raise ValueError(
-          "PyToDmWrapper requires an unbatched environment (dm_env has no "
-          f"batch dimension); got batch_size={env.batch_size}. Wrap a "
-          "single underlying env instead.")
+          "PyToDmWrapper requires an unbatched environment (dm_env has "
+          f"no batch dimension); got batch_size={env.batch_size}. Wrap "
+          "a single underlying env instead.")
     self._env = env
 
   def __getattr__(self, name):

@@ -100,7 +100,8 @@ def export_action(policy, params, export_dir: str,
     (b,) = jax_export.symbolic_shape("b")
   else:
     b = int(batch_size)
-  param_args = [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+  param_args = [jax.ShapeDtypeStruct(
+      np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype)
                 for x in flat_params]
   key_arg = jax.ShapeDtypeStruct((2,), np.uint32)
   ts_args = [jax.ShapeDtypeStruct((b,) + tuple(s.shape), np.dtype(s.dtype))

@@ -113,8 +113,6 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     self.capacity = capacity
     self._lock = threading.Lock()
     # Dense ring for everything EXCEPT the observation.
-    self._obs_field = ("observation" if hasattr(data_spec, "observation")
-                       else "observation")
     rest_spec = (data_spec.replace(observation=())
                  if hasattr(data_spec, "replace")
                  else {k: v for k, v in data_spec.items()
@@ -122,8 +120,17 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     self._storage = array_spec.map_spec_nest(
         lambda s: np.zeros((capacity,) + s.shape, s.dtype), rest_spec)
     self._count = 0
+    # Refcounted dedup pool (the reference py_hashed_replay_buffer also
+    # evicts when the last ring slot referencing a frame is overwritten
+    # — without eviction a long run retains every frame ever seen, not
+    # `capacity` frames). _pool: hash -> pool index; _pool_list[i] is
+    # the frame (None when free); _pool_hash/_pool_refs parallel it;
+    # _free recycles pool slots.
     self._pool: dict = {}
     self._pool_list: list = []
+    self._pool_hash: list = []
+    self._pool_refs: list = []
+    self._free: list = []
     self._obs_idx = np.zeros((capacity,), np.int64)
 
   @staticmethod
@@ -140,34 +147,54 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     h = hashlib.blake2b(obs.tobytes(), digest_size=16).digest()
     pool_idx = self._pool.get(h)
     if pool_idx is None:
-      pool_idx = len(self._pool_list)
+      if self._free:
+        pool_idx = self._free.pop()
+        self._pool_list[pool_idx] = obs.copy()
+        self._pool_hash[pool_idx] = h
+        self._pool_refs[pool_idx] = 0
+      else:
+        pool_idx = len(self._pool_list)
+        self._pool_list.append(obs.copy())
+        self._pool_hash.append(h)
+        self._pool_refs.append(0)
       self._pool[h] = pool_idx
-      self._pool_list.append(obs.copy())
+    self._pool_refs[pool_idx] += 1
     return pool_idx
+
+  def _pool_release(self, pool_idx: int):
+    self._pool_refs[pool_idx] -= 1
+    if self._pool_refs[pool_idx] == 0:
+      del self._pool[self._pool_hash[pool_idx]]
+      self._pool_list[pool_idx] = None
+      self._pool_hash[pool_idx] = None
+      self._free.append(pool_idx)
+
+  def _write_one(self, rest_leaves_at, obs_frame):
+    """Write one frame at the current ring head (lock held)."""
+    idx = self._count % self.capacity
+    for slot, leaf in zip(jax.tree_util.tree_leaves(self._storage),
+                          rest_leaves_at):
+      slot[idx] = leaf
+    if self._count >= self.capacity:  # overwriting: release old frame
+      self._pool_release(int(self._obs_idx[idx]))
+    self._obs_idx[idx] = self._pool_insert(obs_frame)
+    self._count += 1
 
   def add(self, item):
     obs = np.asarray(self._get_obs(item))
     rest = self._strip_obs(item)
     with self._lock:
-      idx = self._count % self.capacity
-      for slot, leaf in zip(jax.tree_util.tree_leaves(self._storage),
-                            jax.tree_util.tree_leaves(rest)):
-        slot[idx] = np.asarray(leaf)
-      self._obs_idx[idx] = self._pool_insert(obs)
-      self._count += 1
+      self._write_one([np.asarray(l) for l in
+                       jax.tree_util.tree_leaves(rest)], obs)
 
   def add_batch(self, items):
     obs = np.asarray(self._get_obs(items))
     rest = self._strip_obs(items)
+    rest_leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(rest)]
     b = obs.shape[0]
     with self._lock:
       for i in range(b):
-        idx = self._count % self.capacity
-        for slot, leaf in zip(jax.tree_util.tree_leaves(self._storage),
-                              jax.tree_util.tree_leaves(rest)):
-          slot[idx] = np.asarray(leaf)[i]
-        self._obs_idx[idx] = self._pool_insert(obs[i])
-        self._count += 1
+        self._write_one([l[i] for l in rest_leaves], obs[i])
 
   def sample(self, batch_size: int, num_steps: Optional[int] = None,
              rng: Optional[np.random.RandomState] = None):
@@ -197,10 +224,19 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
         return rest.replace(observation=obs)
       return dict(rest, observation=obs)
 
+  def clear(self):
+    with self._lock:
+      self._count = 0
+      self._pool.clear()
+      self._pool_list.clear()
+      self._pool_hash.clear()
+      self._pool_refs.clear()
+      self._free.clear()
+
   @property
   def num_unique_observations(self):
-    return len(self._pool_list)
+    return len(self._pool_list) - len(self._free)
 
   @property
   def observation_bytes_stored(self):
-    return sum(o.nbytes for o in self._pool_list)
+    return sum(o.nbytes for o in self._pool_list if o is not None)

@@ -57,6 +57,7 @@ class AsyncHostDeviceTrainLoop:
     self._train_steps = 0
     self._last_loss = float("nan")
     self._stop = threading.Event()
+    self._trainer_thread: Optional[threading.Thread] = None
 
   # -- device programs -------------------------------------------------------
   def _collect_fn(self, replay_state, params, host_ts, prev_ts, prev_action,
@@ -109,17 +110,28 @@ class AsyncHostDeviceTrainLoop:
           progress_fn=None, progress_every: int = 1000):
     B = self.env.batch_size
     rng = np.random.RandomState(seed)
+    # Each run() is a fresh training session: the previous trainer must
+    # be FULLY dead before the stop flag is revived — a trainer blocked
+    # in a stalled device call (the tunnel's program-load queue can
+    # stall minutes) that woke up after a cleared flag would clobber
+    # this run's agent state and keep training alongside the new thread.
+    if self._trainer_thread is not None and self._trainer_thread.is_alive():
+      self._stop.set()
+      self._trainer_thread.join()  # wait out any stalled device call
+    self._stop.clear()
     self._agent_state = self.agent.init(jax.random.key(seed))
     self._replay_state = self.replay.init()
-    # Each run() is a fresh training session: revive the stop flag and
-    # zero the counters. (Without this, every run() after the first had
-    # a trainer thread that exited instantly on the still-set stop event
-    # and carried-over step counters — invisible to single-run training
-    # binaries, fatal to anything that calls run() twice, e.g. a warmup
-    # + timed benchmark probe.)
-    self._stop.clear()
+    # Zero the per-run counters and metric state. (Without this, every
+    # run() after the first had a trainer thread that exited instantly
+    # on the still-set stop event, carried-over step counters, and
+    # metrics mixing episodes across runs — invisible to single-run
+    # training binaries, fatal to anything that calls run() twice,
+    # e.g. a warmup + timed benchmark probe.)
     self._env_steps = 0
     self._train_steps = 0
+    for m in self.py_metrics:
+      if hasattr(m, "reset"):
+        m.reset()
     key = jax.random.key(seed + 1)
 
     time_step = self.env.reset()
@@ -137,6 +149,7 @@ class AsyncHostDeviceTrainLoop:
 
     trainer = threading.Thread(
         target=self._trainer_loop, args=(seed + 2,), daemon=True)
+    self._trainer_thread = trainer
     trainer.start()
     t0 = time.time()
     try:

@@ -110,7 +110,6 @@ def profile(space_to_depth: bool):
   res["fused_iteration_ms"] = dt / 10 * 1e3
 
   # policy fwd at collect batch
-  obs = jax.tree_util.tree_leaves(state.driver_state.time_step.observation)
   obs = state.driver_state.time_step.observation
   params = agent.policy_params(state.agent_state)
   fwd = jax.jit(lambda p, o: qnet.apply(p, o, None, ())[0])

@@ -232,13 +232,23 @@ def main():
     agent_state, loss = train_chunk(agent_state, replay_state, sub)
     train_steps += args.train_steps_per_call
     if train_steps - last_export >= args.export_interval_steps:
-      # Full save (params + manifest): the manifest's train_step is what
+      # First export writes the full artifact (incl. the StableHLO
+      # module); every subsequent interval refreshes params + the
+      # manifest train_step only — the manifest train_step is what
       # actors poll to detect fresh weights (the variable-container
-      # "push" signal).
+      # "push" signal), and re-exporting StableHLO per interval would
+      # re-trace two policies inside the learner hot loop.
       saver.train_step = train_steps
-      saver.save(export_dir, agent.collect_policy_params(agent_state))
       greedy_saver.train_step = train_steps
-      greedy_saver.save(greedy_dir, agent.policy_params(agent_state))
+      if last_export == 0 and not os.path.exists(
+          os.path.join(export_dir, "policy_manifest.json")):
+        saver.save(export_dir, agent.collect_policy_params(agent_state))
+        greedy_saver.save(greedy_dir, agent.policy_params(agent_state))
+      else:
+        saver.save_checkpoint(export_dir,
+                              agent.collect_policy_params(agent_state))
+        greedy_saver.save_checkpoint(greedy_dir,
+                                     agent.policy_params(agent_state))
       if weights_vc is not None:
         weights_vc.push(
             jax.device_get(agent.collect_policy_params(agent_state)),

@@ -88,9 +88,14 @@ def test_py_hashed_replay_distinct_frames_roundtrip():
   spec = {"observation": specs.ArraySpec((3,), np.uint8),
           "action": specs.ArraySpec((), np.int32)}
   buf = PyHashedReplayBuffer(spec, 8)
-  for i in range(12):  # wraps the ring; 12 distinct frames, pool keeps all
+  for i in range(12):  # wraps the ring: 12 distinct frames, 8 live
     buf.add({"observation": np.full(3, i, np.uint8),
              "action": np.asarray(i, np.int32)})
+  # Overwritten frames are EVICTED from the dedup pool (refcounted, like
+  # the reference py_hashed_replay_buffer) — memory stays O(capacity),
+  # not O(frames ever seen).
+  assert buf.num_unique_observations == 8
+  assert buf.observation_bytes_stored == 8 * 3
   out = buf.sample(32, rng=np.random.RandomState(1))
   # observation content must match the action written with it
   np.testing.assert_array_equal(
