@@ -95,29 +95,28 @@ class PolicySaver:
         # then load_policy needs the explicit policy object.
         "policy_config": policy_config(self.policy),
     }
-    with open(os.path.join(export_dir, "policy_manifest.json"), "w") as f:
-      json.dump(manifest, f, indent=2)
+    from agents_tpu.policies import stablehlo_export
+    stablehlo_export.atomic_json_dump(
+        manifest, os.path.join(export_dir, "policy_manifest.json"))
 
   def save_checkpoint(self, export_dir: str, params):
     """Params-only refresh (reference save_checkpoint :676). Also
     refreshes the StableHLO artifact's flat-params npz (no re-export
-    needed — the exported module takes params as arguments)."""
+    needed — the exported module takes params as arguments). All writes
+    are atomic (tmp+rename) because actors poll these files live."""
     export_dir = os.path.abspath(export_dir)
     with ocp.StandardCheckpointer() as ckptr:
       ckptr.save(os.path.join(export_dir, "params"), params, force=True)
     from agents_tpu.policies import stablehlo_export
     if os.path.exists(os.path.join(export_dir,
                                    stablehlo_export.ACTION_BLOB)):
-      flat = jax.tree_util.tree_leaves(params)
-      np.savez(os.path.join(export_dir, stablehlo_export.PARAMS_NPZ),
-               **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
+      stablehlo_export.write_params_npz(export_dir, params)
     manifest_path = os.path.join(export_dir, "policy_manifest.json")
     if os.path.exists(manifest_path):
       with open(manifest_path) as f:
         manifest = json.load(f)
       manifest["train_step"] = int(self.train_step)
-      with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
+      stablehlo_export.atomic_json_dump(manifest, manifest_path)
 
 
 class SavedPolicy:

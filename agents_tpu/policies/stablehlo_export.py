@@ -41,6 +41,30 @@ from agents_tpu.trajectories import time_step as ts
 
 ACTION_BLOB = "exported_action.bin"
 PARAMS_NPZ = "params_flat.npz"
+
+
+def atomic_json_dump(obj, path: str):
+  """Write JSON via tmp-file + rename so pollers (actors watching
+  policy_manifest.json for fresh weights) never read a truncated file."""
+  tmp = path + ".tmp"
+  with open(tmp, "w") as f:
+    json.dump(obj, f, indent=2)
+  os.replace(tmp, path)
+
+
+def write_params_npz(export_dir: str, params):
+  """Atomically write the flat-params npz the exported module consumes.
+
+  Single source of truth for the ``p{i}``/flatten-order contract shared
+  by export_action and PolicySaver.save_checkpoint refreshes; the
+  tmp+rename means a concurrent ExportedPolicy.refresh_params() never
+  sees a partially-written zip."""
+  flat = jax.tree_util.tree_leaves(params)
+  path = os.path.join(export_dir, PARAMS_NPZ)
+  tmp = path + ".tmp"
+  with open(tmp, "wb") as f:
+    np.savez(f, **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
+  os.replace(tmp, path)
 MANIFEST = "exported_manifest.json"
 LOADER = "loader.py"
 
@@ -115,10 +139,11 @@ def export_action(policy, params, export_dir: str,
   blob = exported.serialize()
 
   os.makedirs(export_dir, exist_ok=True)
-  with open(os.path.join(export_dir, ACTION_BLOB), "wb") as f:
+  blob_path = os.path.join(export_dir, ACTION_BLOB)
+  with open(blob_path + ".tmp", "wb") as f:
     f.write(blob)
-  np.savez(os.path.join(export_dir, PARAMS_NPZ),
-           **{f"p{i}": np.asarray(x) for i, x in enumerate(flat_params)})
+  os.replace(blob_path + ".tmp", blob_path)
+  write_params_npz(export_dir, params)
 
   def describe(specs, batched=True):
     return [{"shape": ([None] if batched else []) + list(s.shape),
@@ -141,8 +166,7 @@ def export_action(policy, params, export_dir: str,
            "dtype": np.dtype(s.dtype).name, "name": s.name}
           for s in _spec_leaves(policy.action_spec)],
   }
-  with open(os.path.join(export_dir, MANIFEST), "w") as f:
-    json.dump(manifest, f, indent=2)
+  atomic_json_dump(manifest, os.path.join(export_dir, MANIFEST))
   with open(os.path.join(export_dir, LOADER), "w") as f:
     f.write(_LOADER_SRC)
   return manifest

@@ -21,11 +21,27 @@ from agents_tpu.specs import array_spec
 
 
 class PyUniformReplayBuffer:
-  """Thread-safe numpy ring over spec-conforming frames."""
+  """Thread-safe numpy ring over spec-conforming frames.
 
-  def __init__(self, data_spec, capacity: int):
+  `writer_batch_size` declares what the leading dimension of
+  `add_batch` means, because the ring layout differs:
+
+  - ``writer_batch_size=1`` (default): `add_batch` appends a
+    TIME-CONTIGUOUS chunk of frames from one stream (bulk fill); ring
+    slot t+1 is the next timestep after slot t.
+  - ``writer_batch_size=B>1``: each `add_batch` call is ONE timestep
+    across B parallel envs (the PyDriver observer cadence), so the ring
+    interleaves envs and the next timestep of the same env is B slots
+    ahead. Multi-step `sample(num_steps=n)` windows then stride by B so
+    every window stays inside one env's stream — without this, windows
+    pair env i's frame at t with env i+1's frame at t, producing
+    incoherent transitions (cross-env `next_observation`).
+  """
+
+  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1):
     self.data_spec = data_spec
     self.capacity = capacity
+    self.writer_batch_size = int(writer_batch_size)
     self._lock = threading.Lock()
     self._storage = array_spec.map_spec_nest(
         lambda s: np.zeros((capacity,) + s.shape, s.dtype), data_spec)
@@ -35,6 +51,10 @@ class PyUniformReplayBuffer:
     return min(self._count, self.capacity)
 
   def add(self, item):
+    if self.writer_batch_size > 1:
+      raise ValueError("single-frame add() would shift the env "
+                       "interleave; use add_batch with leading dim "
+                       f"{self.writer_batch_size}")
     with self._lock:
       idx = self._count % self.capacity
       leaves = jax.tree_util.tree_leaves(item)
@@ -49,6 +69,11 @@ class PyUniformReplayBuffer:
     memcpy, not B python-level add() calls."""
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(items)]
     b = leaves[0].shape[0]
+    if self.writer_batch_size > 1 and b != self.writer_batch_size:
+      raise ValueError(
+          f"add_batch leading dim {b} != writer_batch_size "
+          f"{self.writer_batch_size}; multi-step sampling relies on a "
+          "constant interleave stride")
     if b > self.capacity:  # only the last `capacity` rows survive anyway
       leaves = [x[-self.capacity:] for x in leaves]
       skipped, b = b - self.capacity, self.capacity
@@ -69,12 +94,13 @@ class PyUniformReplayBuffer:
     rng = rng or np.random
     size = len(self)
     n = num_steps or 1
+    stride = self.writer_batch_size  # same-env adjacency (see class doc)
     lo = self._count - size
-    hi = self._count - n + 1
+    hi = self._count - (n - 1) * stride
     if hi <= lo:
       raise ValueError("Not enough frames to sample")
     t0 = rng.randint(lo, hi, size=batch_size)
-    return (t0[:, None] + np.arange(n)[None, :]) % self.capacity
+    return (t0[:, None] + np.arange(n)[None, :] * stride) % self.capacity
 
   def sample(self, batch_size: int, num_steps: Optional[int] = None,
              rng: Optional[np.random.RandomState] = None):
@@ -108,9 +134,10 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
   per slot and the pool keeps one copy per distinct frame; `sample`
   reconstructs observations from the pool."""
 
-  def __init__(self, data_spec, capacity: int):
+  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1):
     self.data_spec = data_spec
     self.capacity = capacity
+    self.writer_batch_size = int(writer_batch_size)
     self._lock = threading.Lock()
     # Dense ring for everything EXCEPT the observation.
     rest_spec = (data_spec.replace(observation=())
@@ -181,6 +208,10 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     self._count += 1
 
   def add(self, item):
+    if self.writer_batch_size > 1:
+      raise ValueError("single-frame add() would shift the env "
+                       "interleave; use add_batch with leading dim "
+                       f"{self.writer_batch_size}")
     obs = np.asarray(self._get_obs(item))
     rest = self._strip_obs(item)
     with self._lock:
@@ -192,6 +223,11 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     rest = self._strip_obs(items)
     rest_leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(rest)]
     b = obs.shape[0]
+    if self.writer_batch_size > 1 and b != self.writer_batch_size:
+      raise ValueError(
+          f"add_batch leading dim {b} != writer_batch_size "
+          f"{self.writer_batch_size}; multi-step sampling relies on a "
+          "constant interleave stride")
     with self._lock:
       for i in range(b):
         self._write_one([l[i] for l in rest_leaves], obs[i])

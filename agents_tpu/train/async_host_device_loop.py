@@ -103,6 +103,11 @@ class AsyncHostDeviceTrainLoop:
       # in between, the dispatch queue keeps the device pipelined.
       if calls % 16 == 0:
         self._last_loss = float(np.asarray(loss))
+    # Final readback on exit: short runs (< 16 trainer calls) would
+    # otherwise report last_loss = nan (or, before the per-run reset, a
+    # PREVIOUS run's stale value).
+    if calls:
+      self._last_loss = float(np.asarray(loss))
 
   # -- main -------------------------------------------------------------------
   def run(self, total_env_batch_steps: int, seed: int = 0,
@@ -129,6 +134,7 @@ class AsyncHostDeviceTrainLoop:
     # e.g. a warmup + timed benchmark probe.)
     self._env_steps = 0
     self._train_steps = 0
+    self._last_loss = float("nan")
     for m in self.py_metrics:
       if hasattr(m, "reset"):
         m.reset()

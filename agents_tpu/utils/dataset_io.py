@@ -65,6 +65,18 @@ def load_trajectory_dataset(path: str, template) -> Iterator[Any]:
     yield jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def dataset_num_frames(path: str) -> int:
+  """Total frames (per replay row) across shards. Consumers sizing a
+  replay ring must use THIS, not a config value: if the ring is smaller
+  than the dataset actually on disk, `dataset_to_replay`'s ring writes
+  silently wrap and drop the oldest data."""
+  total = 0
+  for shard in sorted(glob.glob(os.path.join(path, "shard_*.npz"))):
+    with np.load(shard) as data:
+      total += int(data["leaf_0"].shape[0])
+  return total
+
+
 def dataset_to_replay(path: str, template, replay, replay_state):
   """Stream a saved dataset into an on-device UniformReplay
   (rlds_to_reverb.py analogue). Frames in each shard are [N, B?, ...];

@@ -307,9 +307,15 @@ def _phase_c(cfg, tss, asp, env, eval_env, greedy_eval, writer, data_dir,
   t0 = time.time()
   agent = _make_sac(cfg, tss, asp, cql=True)
   offline_rows = cfg.env_batch_size
+  # Size the ring from the dataset actually on disk, NOT
+  # cfg.dataset_frames: a --cfg.reuse_phase_ab source run may have been
+  # generated with a different dataset_frames, and an undersized ring
+  # would silently wrap and train on only the tail while the comparators
+  # (behavior_best, dataset_return) still describe the full dataset.
+  frames_per_row = dataset_io.dataset_num_frames(data_dir)
   offline_replay = UniformReplay(
       data_spec, batch_size=offline_rows,
-      max_length=max(2, cfg.dataset_frames // offline_rows))
+      max_length=max(2, frames_per_row))
   rstate = offline_replay.init()
   template = jax.tree_util.tree_map(
       lambda s: np.zeros((1,) + tuple(s.shape), s.dtype), data_spec)

@@ -240,15 +240,22 @@ def main():
       # re-trace two policies inside the learner hot loop.
       saver.train_step = train_steps
       greedy_saver.train_step = train_steps
-      if last_export == 0 and not os.path.exists(
-          os.path.join(export_dir, "policy_manifest.json")):
-        saver.save(export_dir, agent.collect_policy_params(agent_state))
-        greedy_saver.save(greedy_dir, agent.policy_params(agent_state))
-      else:
-        saver.save_checkpoint(export_dir,
-                              agent.collect_policy_params(agent_state))
-        greedy_saver.save_checkpoint(greedy_dir,
-                                     agent.policy_params(agent_state))
+      # Gate PER DIRECTORY, not once for both: a crash between the two
+      # full saves (or a restart into a half-written export root) must
+      # still give each dir its manifest + StableHLO artifact before
+      # params-only refreshes start — otherwise actors polling the
+      # greedy manifest would never see weights at all.
+      # Additionally, the first export of THIS process is always a full
+      # save: a restarted job with a changed network must not refresh
+      # params under a stale StableHLO blob/spec manifest.
+      for a_saver, a_dir, a_params in (
+          (saver, export_dir, agent.collect_policy_params(agent_state)),
+          (greedy_saver, greedy_dir, agent.policy_params(agent_state))):
+        if last_export > 0 and os.path.exists(
+            os.path.join(a_dir, "policy_manifest.json")):
+          a_saver.save_checkpoint(a_dir, a_params)
+        else:
+          a_saver.save(a_dir, a_params)
       if weights_vc is not None:
         weights_vc.push(
             jax.device_get(agent.collect_policy_params(agent_state)),

@@ -126,7 +126,8 @@ def test_dm_control_trains_ddpg_smoke():
       actor_optimizer=optax.adam(1e-3),
       critic_optimizer=optax.adam(1e-3))
   state = agent.init(jax.random.key(0))
-  buf = PyUniformReplayBuffer(tj.trajectory_spec(tss, asp), 512)
+  buf = PyUniformReplayBuffer(tj.trajectory_spec(tss, asp), 512,
+                              writer_batch_size=2)
   pol = JittedPyPolicy(agent.collect_policy, seed=0)
   pol.update_params(agent.collect_policy_params(state))
   PyDriver(env, pol, observers=[buf.add_batch], max_steps=96).run(

@@ -223,3 +223,43 @@ def test_episodic_replay_add_sequence():
                                 np.arange(8, dtype=np.float32).reshape(4, 2))
   # add_sequence consumed episode id 1 (row 0 holds id 0).
   assert set(np.asarray(info["episode_ids"])) == {1}
+
+
+def test_py_uniform_interleaved_writer_stride():
+  """writer_batch_size=B: multi-step windows must stay inside one env's
+  stream even though B-env add_batch interleaves the ring (the round-4
+  review finding: without the stride, half the 2-step windows paired
+  env i's frame at t with env i+1's frame at t — cross-env
+  next_observation)."""
+  spec = {"env": specs.ArraySpec((), np.int32),
+          "t": specs.ArraySpec((), np.int32)}
+  buf = PyUniformReplayBuffer(spec, 64, writer_batch_size=4)
+  for t in range(20):  # wraps the 64-slot ring at t=16
+    buf.add_batch({"env": np.arange(4, dtype=np.int32),
+                   "t": np.full(4, t, np.int32)})
+  seq = buf.sample(256, num_steps=3, rng=np.random.RandomState(0))
+  # every window: one env, consecutive timesteps
+  np.testing.assert_array_equal(seq["env"][:, 1], seq["env"][:, 0])
+  np.testing.assert_array_equal(seq["env"][:, 2], seq["env"][:, 0])
+  np.testing.assert_array_equal(seq["t"][:, 1], seq["t"][:, 0] + 1)
+  np.testing.assert_array_equal(seq["t"][:, 2], seq["t"][:, 0] + 2)
+  # hashed variant shares the stride-aware index math
+  hspec = {"observation": specs.ArraySpec((2,), np.uint8),
+           "t": specs.ArraySpec((), np.int32)}
+  hbuf = PyHashedReplayBuffer(hspec, 32, writer_batch_size=2)
+  for t in range(12):
+    hbuf.add_batch({"observation": np.stack(
+        [np.full(2, t, np.uint8), np.full(2, 100 + t, np.uint8)]),
+        "t": np.full(2, t, np.int32)})
+  seq = hbuf.sample(64, num_steps=2, rng=np.random.RandomState(1))
+  np.testing.assert_array_equal(seq["t"][:, 1], seq["t"][:, 0] + 1)
+  same_env = (seq["observation"][:, 1, 0].astype(np.int32)
+              - seq["observation"][:, 0, 0].astype(np.int32))
+  np.testing.assert_array_equal(same_env, np.ones_like(same_env))
+  # mismatched leading dim is rejected loudly
+  import pytest
+  with pytest.raises(ValueError):
+    buf.add_batch({"env": np.arange(3, dtype=np.int32),
+                   "t": np.zeros(3, np.int32)})
+  with pytest.raises(ValueError):
+    buf.add({"env": np.asarray(0, np.int32), "t": np.asarray(0, np.int32)})
