@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 from typing import Any, Optional, Sequence
 
 import jax
@@ -41,32 +42,45 @@ from agents_tpu.trajectories import time_step as ts
 
 ACTION_BLOB = "exported_action.bin"
 PARAMS_NPZ = "params_flat.npz"
+MANIFEST = "exported_manifest.json"
+LOADER = "loader.py"
+
+
+def _atomic_publish(path: str, write_fn, mode: str = "w"):
+  """Write via a UNIQUE tmp file + rename: pollers never read a torn
+  file, and two overlapping exporters (e.g. a restarted trainer racing
+  a zombie one) cannot truncate each other's half-written tmp — last
+  rename wins with a complete file either way."""
+  fd, tmp = tempfile.mkstemp(
+      dir=os.path.dirname(os.path.abspath(path)),
+      prefix=os.path.basename(path) + ".", suffix=".tmp")
+  try:
+    with os.fdopen(fd, mode) as f:
+      write_fn(f)
+    os.replace(tmp, path)
+  except BaseException:
+    if os.path.exists(tmp):
+      os.unlink(tmp)
+    raise
 
 
 def atomic_json_dump(obj, path: str):
-  """Write JSON via tmp-file + rename so pollers (actors watching
-  policy_manifest.json for fresh weights) never read a truncated file."""
-  tmp = path + ".tmp"
-  with open(tmp, "w") as f:
-    json.dump(obj, f, indent=2)
-  os.replace(tmp, path)
+  """Atomically publish JSON (actors poll policy_manifest.json live)."""
+  _atomic_publish(path, lambda f: json.dump(obj, f, indent=2))
 
 
 def write_params_npz(export_dir: str, params):
   """Atomically write the flat-params npz the exported module consumes.
 
   Single source of truth for the ``p{i}``/flatten-order contract shared
-  by export_action and PolicySaver.save_checkpoint refreshes; the
-  tmp+rename means a concurrent ExportedPolicy.refresh_params() never
-  sees a partially-written zip."""
+  by export_action and PolicySaver.save_checkpoint refreshes; a
+  concurrent ExportedPolicy.refresh_params() never sees a partial zip."""
   flat = jax.tree_util.tree_leaves(params)
-  path = os.path.join(export_dir, PARAMS_NPZ)
-  tmp = path + ".tmp"
-  with open(tmp, "wb") as f:
-    np.savez(f, **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)})
-  os.replace(tmp, path)
-MANIFEST = "exported_manifest.json"
-LOADER = "loader.py"
+  _atomic_publish(
+      os.path.join(export_dir, PARAMS_NPZ),
+      lambda f: np.savez(
+          f, **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)}),
+      mode="wb")
 
 
 def _leaf_paths(tree, is_leaf=None):
@@ -139,10 +153,8 @@ def export_action(policy, params, export_dir: str,
   blob = exported.serialize()
 
   os.makedirs(export_dir, exist_ok=True)
-  blob_path = os.path.join(export_dir, ACTION_BLOB)
-  with open(blob_path + ".tmp", "wb") as f:
-    f.write(blob)
-  os.replace(blob_path + ".tmp", blob_path)
+  _atomic_publish(os.path.join(export_dir, ACTION_BLOB),
+                  lambda f: f.write(blob), mode="wb")
   write_params_npz(export_dir, params)
 
   def describe(specs, batched=True):
@@ -167,8 +179,8 @@ def export_action(policy, params, export_dir: str,
           for s in _spec_leaves(policy.action_spec)],
   }
   atomic_json_dump(manifest, os.path.join(export_dir, MANIFEST))
-  with open(os.path.join(export_dir, LOADER), "w") as f:
-    f.write(_LOADER_SRC)
+  _atomic_publish(os.path.join(export_dir, LOADER),
+                  lambda f: f.write(_LOADER_SRC))
   return manifest
 
 

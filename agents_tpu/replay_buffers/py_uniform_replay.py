@@ -50,11 +50,23 @@ class PyUniformReplayBuffer:
   def __len__(self):
     return min(self._count, self.capacity)
 
-  def add(self, item):
-    if self.writer_batch_size > 1:
+  def _check_writer_batch(self, b: Optional[int] = None):
+    """Enforce the interleave contract (class docstring): b=None means a
+    single-frame add()."""
+    if self.writer_batch_size <= 1:
+      return
+    if b is None:
       raise ValueError("single-frame add() would shift the env "
                        "interleave; use add_batch with leading dim "
                        f"{self.writer_batch_size}")
+    if b != self.writer_batch_size:
+      raise ValueError(
+          f"add_batch leading dim {b} != writer_batch_size "
+          f"{self.writer_batch_size}; multi-step sampling relies on a "
+          "constant interleave stride")
+
+  def add(self, item):
+    self._check_writer_batch()
     with self._lock:
       idx = self._count % self.capacity
       leaves = jax.tree_util.tree_leaves(item)
@@ -69,11 +81,7 @@ class PyUniformReplayBuffer:
     memcpy, not B python-level add() calls."""
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(items)]
     b = leaves[0].shape[0]
-    if self.writer_batch_size > 1 and b != self.writer_batch_size:
-      raise ValueError(
-          f"add_batch leading dim {b} != writer_batch_size "
-          f"{self.writer_batch_size}; multi-step sampling relies on a "
-          "constant interleave stride")
+    self._check_writer_batch(b)
     if b > self.capacity:  # only the last `capacity` rows survive anyway
       leaves = [x[-self.capacity:] for x in leaves]
       skipped, b = b - self.capacity, self.capacity
@@ -208,10 +216,7 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     self._count += 1
 
   def add(self, item):
-    if self.writer_batch_size > 1:
-      raise ValueError("single-frame add() would shift the env "
-                       "interleave; use add_batch with leading dim "
-                       f"{self.writer_batch_size}")
+    self._check_writer_batch()
     obs = np.asarray(self._get_obs(item))
     rest = self._strip_obs(item)
     with self._lock:
@@ -223,11 +228,7 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
     rest = self._strip_obs(items)
     rest_leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(rest)]
     b = obs.shape[0]
-    if self.writer_batch_size > 1 and b != self.writer_batch_size:
-      raise ValueError(
-          f"add_batch leading dim {b} != writer_batch_size "
-          f"{self.writer_batch_size}; multi-step sampling relies on a "
-          "constant interleave stride")
+    self._check_writer_batch(b)
     with self._lock:
       for i in range(b):
         self._write_one([l[i] for l in rest_leaves], obs[i])

@@ -184,11 +184,17 @@ class AsyncHostDeviceTrainLoop:
     finally:
       self._stop.set()
       trainer.join(timeout=10)
+    # If the trainer is still draining a stalled device call, the
+    # last_loss/train_steps below may lag the dispatched work; the flag
+    # lets callers distinguish that from a clean drain rather than
+    # blocking run() on an unbounded device stall (the next run() does
+    # the full join before reusing the loop).
     return {
         "env_steps": self._env_steps,
         "train_steps": self._train_steps,
         "wall_s": time.time() - t0,
         "last_loss": self._last_loss,
+        "trainer_drained": not trainer.is_alive(),
         "metrics": {m.name: m.result() for m in self.py_metrics},
         "agent_state": self._agent_state,
     }

@@ -69,11 +69,22 @@ def dataset_num_frames(path: str) -> int:
   """Total frames (per replay row) across shards. Consumers sizing a
   replay ring must use THIS, not a config value: if the ring is smaller
   than the dataset actually on disk, `dataset_to_replay`'s ring writes
-  silently wrap and drop the oldest data."""
+  silently wrap and drop the oldest data.
+
+  Reads only the .npy header inside each zip member — no decompression
+  of the (possibly multi-MB) leaf payloads."""
+  import zipfile
+
   total = 0
   for shard in sorted(glob.glob(os.path.join(path, "shard_*.npz"))):
-    with np.load(shard) as data:
-      total += int(data["leaf_0"].shape[0])
+    with zipfile.ZipFile(shard) as zf:
+      with zf.open("leaf_0.npy") as f:
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+          shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        else:
+          shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    total += int(shape[0])
   return total
 
 
