@@ -280,8 +280,15 @@ class CqlSacAgent(SacAgent):
         total = cql * cql_alpha
         base = jnp.zeros(())
       else:
-        base = self.critic_loss(cp, agent_state, time_steps, actions,
-                                next_time_steps, k_critic, weights)
+        # TD term weighted by critic_loss_weight (reference
+        # cql_sac_agent.py:284 `critic_loss *= self._critic_loss_weight`,
+        # default 0.5): the critic optimizer sees the SUM of two
+        # objectives, so the relative weight shapes the gradient — at
+        # identical cql_alpha an unweighted TD term would halve the
+        # conservatism.
+        base = self.critic_loss_weight * self.critic_loss(
+            cp, agent_state, time_steps, actions,
+            next_time_steps, k_critic, weights)
         total = base + cql * cql_alpha
       return total, (base, cql)
 
@@ -306,6 +313,13 @@ class CqlSacAgent(SacAgent):
     if self.gradient_clipping is not None:
       actor_grads = common.clip_gradient_norms(actor_grads,
                                                self.gradient_clipping)
+      # The reference clips ALL trained variable groups, including the
+      # entropy-temperature parameter (sac_agent.py _apply_gradients) —
+      # an unclipped alpha step early in training can overflow
+      # exp(log_alpha) and destabilize both critic targets and the
+      # actor loss despite clipping being requested.
+      alpha_grad = common.clip_gradient_norms(alpha_grad,
+                                              self.gradient_clipping)
     au, actor_opt_state = self.actor_optimizer.update(
         actor_grads, agent_state.actor_opt_state, agent_state.actor_params)
     actor_params = optax.apply_updates(agent_state.actor_params, au)

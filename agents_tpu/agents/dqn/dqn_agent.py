@@ -176,11 +176,24 @@ class DqnAgent(Agent):
                                    sample_weight=weights)
     return loss, DqnLossExtra(td_loss=td_loss, td_error=td_error)
 
+  def _seq_next_best_q(self, q_all_online, target_all, action_mask):
+    """Next-state value from the [B, T, A] unrolled online/target Q.
+    Base DQN: masked max over the target net; DdqnAgent overrides with
+    online-argmax / target-eval decoupling (dqn_agent.py:649)."""
+    if action_mask is not None:
+      target_all = jnp.where(action_mask, target_all, -1e9)
+    return jnp.max(target_all, axis=-1)                    # [B, T]
+
   def _sequence_loss(self, q_params, agent_state, experience, weights=None):
     """TD loss over full sequences for recurrent Q networks. The LSTM
     unrolls once over [B, T] with FIRST-step reset masking; TD pairs are
-    (t, t+1) frames, masked at episode boundaries."""
+    (t, t+1) frames, masked at episode boundaries. Action-mask splitting
+    and the DQN/DDQN target rule go through the same hooks as the
+    feed-forward path."""
     obs = experience.observation
+    action_mask = None
+    if self.splitter is not None:
+      obs, action_mask = self.splitter(obs)
     step_type = experience.step_type
     q_all, _ = self.q_network.apply(
         q_params, obs, step_type, None)                    # [B, T, A]
@@ -188,7 +201,7 @@ class DqnAgent(Agent):
 
     target_all, _ = self.q_network.apply(
         agent_state.target_q_params, obs, step_type, None)
-    next_q = jnp.max(target_all, axis=-1)                  # [B, T]
+    next_q = self._seq_next_best_q(q_all, target_all, action_mask)
 
     rewards = self.reward_scale_factor * experience.reward[:, :-1]
     discounts = self.gamma * experience.discount[:, :-1]
@@ -245,6 +258,16 @@ class DdqnAgent(DqnAgent):
     q_target, _ = self.q_network.apply(
         agent_state.target_q_params, obs, next_time_steps.step_type, ())
     return common.index_with_actions(q_target, best)
+
+  def _seq_next_best_q(self, q_all_online, target_all, action_mask):
+    """Recurrent Double-DQN target: argmax under the ONLINE unroll,
+    value from the TARGET unroll (same decoupling as _next_best_q —
+    without this override the recurrent path would silently fall back
+    to vanilla-DQN maximization-bias targets)."""
+    if action_mask is not None:
+      q_all_online = jnp.where(action_mask, q_all_online, -1e9)
+    best = jnp.argmax(jax.lax.stop_gradient(q_all_online), axis=-1)
+    return common.index_with_actions(target_all, best)
 
 
 # D3QN = Double DQN + a dueling q_network (reference D3qnAgent :704 is just

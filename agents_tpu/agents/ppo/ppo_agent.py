@@ -211,10 +211,17 @@ class PPOAgent(Agent):
 
     new_log_prob = common.log_probability(dist, actions)
     ratio = jnp.exp(new_log_prob - old_log_prob)
-    clipped_ratio = jnp.clip(ratio, 1.0 - self.importance_ratio_clipping,
-                             1.0 + self.importance_ratio_clipping)
-    pg_per_example = -jnp.minimum(ratio * advantages,
-                                  clipped_ratio * advantages)
+    if self.importance_ratio_clipping > 0.0:
+      clipped_ratio = jnp.clip(ratio, 1.0 - self.importance_ratio_clipping,
+                               1.0 + self.importance_ratio_clipping)
+      pg_per_example = -jnp.minimum(ratio * advantages,
+                                    clipped_ratio * advantages)
+    else:
+      # No clipping (the KL-penalty variant): plain surrogate, reference
+      # ppo_agent.py:1398-1401 branches the same way — min() with an
+      # unclipped "clipped_ratio"=1 would wrongly zero the gradient for
+      # ~half the samples (adv>0 & ratio>1, adv<0 & ratio<1).
+      pg_per_example = -ratio * advantages
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     pg_loss = jnp.sum(pg_per_example * mask) / denom
     clip_fraction = jnp.sum(
@@ -403,9 +410,24 @@ class PPOAgent(Agent):
     loss, extra, mean_kl = jax.tree_util.tree_map(lambda x: x[-1], outs)
     actor_params, value_params = params
 
-    # 4) Adaptive KL beta update (reference :1632).
+    # 4) Adaptive KL beta update (reference :1632) — from the KL of the
+    # FULL batch under the FINAL policy (reference :978-989 recomputes
+    # after the epoch loop), NOT the last minibatch of the last epoch:
+    # with num_minibatches > 1 a single outlier minibatch would
+    # random-walk beta by 1.5x on sampling noise.
     kl_beta = agent_state.kl_beta
     if self.initial_adaptive_kl_beta > 0:
+      obs_f, st_f, _, old_dist_f, _, _, _, _, mask_f = flat_batch
+      obs_n = (self.obs_normalizer.normalize(agent_state.obs_norm_state,
+                                             obs_f)
+               if self.obs_normalizer is not None else obs_f)
+      dist_f, _ = self.actor_network.apply(actor_params, obs_n, st_f, ())
+      kl_f = jax.tree_util.tree_map(
+          lambda o, n: o.kl_divergence(n), old_dist_f, dist_f,
+          is_leaf=lambda d: hasattr(d, "kl_divergence"))
+      kl_f = sum(jax.tree_util.tree_leaves(kl_f))
+      denom_f = jnp.maximum(jnp.sum(mask_f), 1.0)
+      mean_kl = jnp.sum(kl_f * mask_f) / denom_f
       too_high = mean_kl > self.adaptive_kl_target * (
           1.0 + self.adaptive_kl_tolerance)
       too_low = mean_kl < self.adaptive_kl_target * (

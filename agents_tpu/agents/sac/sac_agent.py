@@ -61,6 +61,7 @@ class SacAgent(Agent):
                target_entropy: Optional[float] = None,
                td_errors_loss_fn: Callable = common.element_wise_squared_loss,
                initial_log_alpha: float = 0.0,
+               critic_loss_weight: float = 0.5,
                gradient_clipping: Optional[float] = None):
     self.time_step_spec = time_step_spec
     self.action_spec = action_spec
@@ -75,6 +76,11 @@ class SacAgent(Agent):
     self.reward_scale_factor = reward_scale_factor
     self.td_errors_loss_fn = td_errors_loss_fn
     self.initial_log_alpha = initial_log_alpha
+    # Reference default 0.5 (sac_agent.py:74). With this agent's three
+    # SEPARATE Adam optimizers the constant is scale-invariant for plain
+    # SAC; it matters in CqlSacAgent where the critic optimizer sees the
+    # weighted SUM of the TD term and the CQL penalty.
+    self.critic_loss_weight = critic_loss_weight
     self.gradient_clipping = gradient_clipping
     self.train_sequence_length = 2
 
@@ -195,9 +201,10 @@ class SacAgent(Agent):
 
     # Critics.
     critic_params = (agent_state.critic1_params, agent_state.critic2_params)
-    critic_loss, critic_grads = jax.value_and_grad(self.critic_loss)(
-        critic_params, agent_state, time_steps, actions, next_time_steps,
-        k_critic, weights)
+    critic_loss, critic_grads = jax.value_and_grad(
+        lambda cp: self.critic_loss_weight * self.critic_loss(
+            cp, agent_state, time_steps, actions, next_time_steps,
+            k_critic, weights))(critic_params)
     if self.gradient_clipping is not None:
       critic_grads = common.clip_gradient_norms(critic_grads,
                                                 self.gradient_clipping)
@@ -217,6 +224,13 @@ class SacAgent(Agent):
     if self.gradient_clipping is not None:
       actor_grads = common.clip_gradient_norms(actor_grads,
                                                self.gradient_clipping)
+      # The reference clips ALL trained variable groups, including the
+      # entropy-temperature parameter (sac_agent.py _apply_gradients) —
+      # an unclipped alpha step early in training can overflow
+      # exp(log_alpha) and destabilize both critic targets and the
+      # actor loss despite clipping being requested.
+      alpha_grad = common.clip_gradient_norms(alpha_grad,
+                                              self.gradient_clipping)
     actor_updates, actor_opt_state = self.actor_optimizer.update(
         actor_grads, agent_state.actor_opt_state, agent_state.actor_params)
     actor_params = optax.apply_updates(agent_state.actor_params,

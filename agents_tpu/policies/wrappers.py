@@ -62,15 +62,25 @@ class EpsilonGreedyPolicy(Policy):
 
   def _action(self, params, time_step, state, key):
     k_greedy, k_rand, k_mix = jax.random.split(key, 3)
-    dstep = self.wrapped._distribution(params, time_step, state)
-    greedy_action = jax.tree_util.tree_map(
-        lambda d: d.mode(), dstep.action,
-        is_leaf=lambda d: hasattr(d, "mode"))
+    try:
+      dstep = self.wrapped._distribution(params, time_step, state)
+      greedy_action = jax.tree_util.tree_map(
+          lambda d: d.mode(), dstep.action,
+          is_leaf=lambda d: hasattr(d, "mode"))
+      out_state, out_info = dstep.state, dstep.info
+    except NotImplementedError:
+      # Optimization-based policies (CEMPolicy: acts by iterative refit,
+      # no closed-form distribution) still compose with epsilon-greedy —
+      # their _action IS the greedy arm (qtopt_agent.py collect path).
+      dstep = None
+      gstep = self.wrapped._action(params, time_step, state, k_greedy)
+      greedy_action = gstep.action
+      out_state, out_info = gstep.state, gstep.info
     batch_shape = jnp.shape(time_step.step_type)
     random_action = array_spec.sample_spec_nest(
         self.action_spec, k_rand, outer_dims=batch_shape)
     # Respect action masks if the wrapped distribution is masked.
-    dist_leaves = jax.tree_util.tree_leaves(
+    dist_leaves = [] if dstep is None else jax.tree_util.tree_leaves(
         dstep.action, is_leaf=lambda d: hasattr(d, "mode"))
     if len(dist_leaves) == 1 and isinstance(
         dist_leaves[0], dist_lib.MaskedCategorical):
@@ -84,7 +94,7 @@ class EpsilonGreedyPolicy(Policy):
           [uniform.sample(k_rand)])
     explore = jax.random.uniform(k_mix, batch_shape) < self._epsilon(params)
     action = nest_utils.where(explore, random_action, greedy_action)
-    return ps.PolicyStep(action=action, state=dstep.state, info=dstep.info)
+    return ps.PolicyStep(action=action, state=out_state, info=out_info)
 
   def _distribution(self, params, time_step, state):
     raise NotImplementedError(

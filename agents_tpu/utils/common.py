@@ -54,12 +54,21 @@ def periodic_soft_update(step, period: int, source_params, target_params,
 
 
 def index_with_actions(q_values, actions, multi_dim_actions: bool = False):
-  """q_values[..., actions] along the last axis (reference :367)."""
+  """q_values[..., actions] along the last axis (reference :367).
+
+  With ``multi_dim_actions``, actions' trailing dim indexes the SAME
+  number of trailing q_values dims: q [B..., d1, ..., dk] with actions
+  [B..., k] -> values [B...] (the reference's batch_dims gather)."""
   actions = actions.astype(jnp.int32)
   if multi_dim_actions:
-    # actions has an extra trailing dim indexing into multiple action dims.
-    return jnp.take_along_axis(
-        q_values, actions[..., None], axis=-1).squeeze(-1)
+    k = actions.shape[-1]
+    outer = jnp.indices(actions.shape[:-1])
+    inner = tuple(jnp.moveaxis(actions, -1, 0))
+    if q_values.ndim != actions.ndim - 1 + k:
+      raise ValueError(
+          f"q_values rank {q_values.ndim} does not match outer rank "
+          f"{actions.ndim - 1} + {k} action dims")
+    return q_values[(*outer, *inner)]
   return jnp.take_along_axis(q_values, actions[..., None], axis=-1).squeeze(-1)
 
 

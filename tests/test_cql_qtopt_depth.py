@@ -367,3 +367,20 @@ def test_qtopt_out_of_graph_bellman():
   state = agent.init(jax.random.key(0))
   _, info = jax.jit(agent.train)(state, traj)
   assert np.isfinite(float(info.loss))
+
+
+def test_qtopt_default_collect_policy_acts():
+  """The default (epsilon-greedy over CEM) collect policy must actually
+  produce actions — CEMPolicy has no closed-form _distribution, so the
+  wrapper falls back to its _action as the greedy arm (the round-4
+  review found every default-configured collection step crashed)."""
+  agent = _qtopt_agent()
+  state = agent.init(jax.random.key(0))
+  B = 4
+  tstep = ts.TimeStep(step_type=jnp.zeros((B,), jnp.int32),
+                      reward=jnp.zeros((B,)), discount=jnp.ones((B,)),
+                      observation=jnp.zeros((B, 3)))
+  step = jax.jit(agent.collect_policy.action)(
+      agent.collect_policy_params(state), tstep, (), jax.random.key(1))
+  act = np.asarray(jax.tree_util.tree_leaves(step.action)[0])
+  assert act.shape[0] == B and np.all(np.isfinite(act))

@@ -132,8 +132,9 @@ def test_sac_golden_losses():
   # log_pi = 0 everywhere, alpha = exp(0) = 1:
   # critic: target_value = min twin = 10, 14 (same init) - 1*0
   #   td = [19, 32.6]; q1 = q2 = [5, 5]
-  #   per = 2 * [(14)^2, (27.6)^2]; mean = 957.76
-  np.testing.assert_allclose(float(info.extra.critic_loss), 957.76,
+  #   per = 2 * [(14)^2, (27.6)^2]; mean = 957.76; reported loss is
+  #   weighted by critic_loss_weight = 0.5 (reference sac_agent.py:74)
+  np.testing.assert_allclose(float(info.extra.critic_loss), 478.88,
                              rtol=1e-5)
   # actor: a = pi(obs0) = [-0.5, -0.5]; q = [3-1, 7-1]; per = 1*0 - q
   np.testing.assert_allclose(float(info.extra.actor_loss), -4.0, rtol=1e-6)

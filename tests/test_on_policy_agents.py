@@ -110,3 +110,65 @@ def test_ppo_loop_learns_cartpole_smoke():
   state, _ = run(state)
   ret = float(loop.metrics[2].result(state.metric_states[2]))
   assert ret > 40.0, f"PPO did not improve over random (~20): {ret}"
+
+
+def test_ppo_kl_penalty_uses_unclipped_surrogate():
+  """importance_ratio_clipping=0.0 (the KL-penalty variant) must use the
+  PLAIN surrogate -ratio*adv, not -min(ratio*adv, adv) with a degenerate
+  clip(ratio, 1, 1)=1 — the min() form zeroes the gradient for ~half the
+  samples (reference ppo_agent.py:1398-1401 branches explicitly). The
+  round-4 review caught the degenerate form."""
+  agent = _ppo(importance_ratio_clipping=0.0, normalize_advantages=False,
+               initial_adaptive_kl_beta=1.0, num_epochs=1)
+  state, experience = _rollout(agent)
+  astate = state.agent_state
+  # Evaluate the loss at PERTURBED actor params so ratio != 1 and the two
+  # surrogates genuinely differ; pg must equal -mean(ratio * adv).
+  perturbed = jax.tree_util.tree_map(
+      lambda x: x + 0.05 * jnp.ones_like(x), astate.actor_params)
+  returns, advantages = agent.compute_return_and_advantage(astate,
+                                                           experience)
+  from agents_tpu.trajectories import time_step as ts_mod
+  from agents_tpu.utils import common as common_lib
+  obs = experience.observation[:, :-1]
+  st = experience.step_type[:, :-1]
+  actions = experience.action[:, :-1]
+  old_dist = jax.tree_util.tree_map(  # slice the dist's param leaves
+      lambda t: t[:, :-1], experience.policy_info["dist"])
+  old_values = experience.policy_info["value_prediction"][:, :-1]
+  mask = (st != ts_mod.StepType.LAST).astype(jnp.float32)
+  old_log_prob = common_lib.log_probability(old_dist, actions)
+
+  flatten = lambda x: jax.tree_util.tree_map(
+      lambda t: t.reshape((-1,) + t.shape[2:]), x)
+  batch = tuple(flatten(x) for x in (
+      obs, st, actions, old_dist, old_values, returns.reshape(-1),
+      advantages.reshape(-1), old_log_prob, mask))
+  (_, (extra, _)) = agent._loss(
+      (perturbed, astate.value_params), astate, batch)
+
+  obs_n = agent.obs_normalizer.normalize(astate.obs_norm_state, batch[0])
+  dist, _ = agent.actor_network.apply(perturbed, obs_n, batch[1], ())
+  ratio = jnp.exp(common_lib.log_probability(dist, batch[2]) - batch[7])
+  denom = jnp.maximum(jnp.sum(batch[8]), 1.0)
+  expected_pg = -jnp.sum(ratio * batch[6] * batch[8]) / denom
+  np.testing.assert_allclose(float(extra.policy_gradient_loss),
+                             float(expected_pg), rtol=1e-5)
+  # and the degenerate min() form would differ for this perturbation
+  clipped_pg = -jnp.sum(jnp.minimum(ratio * batch[6], batch[6])
+                        * batch[8]) / denom
+  assert not np.isclose(float(expected_pg), float(clipped_pg), rtol=1e-3)
+
+
+def test_index_with_actions_multi_dim():
+  from agents_tpu.utils import common as common_lib
+  q = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)
+  actions = jnp.asarray([[1, 2], [0, 3]], jnp.int32)  # [B, 2]
+  out = common_lib.index_with_actions(q, actions, multi_dim_actions=True)
+  np.testing.assert_allclose(np.asarray(out),
+                             [q[0, 1, 2], q[1, 0, 3]])
+  # rank mismatch is rejected loudly
+  import pytest
+  with pytest.raises(ValueError):
+    common_lib.index_with_actions(q[..., 0], actions,
+                                  multi_dim_actions=True)
