@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -71,6 +72,14 @@ class DqnAgent(Agent):
                train_sequence_length: Optional[int] = None):
     self.time_step_spec = time_step_spec
     self.action_spec = action_spec
+    # The TD loss indexes Q rows by the raw action value; a nonzero spec
+    # minimum would silently mis-index (the reference raises the same
+    # way, dqn_agent.py:314-317).
+    for s in jax.tree_util.tree_leaves(
+        action_spec, is_leaf=lambda x: hasattr(x, "minimum")):
+      if int(np.asarray(s.minimum)) != 0:
+        raise ValueError(
+            f"DqnAgent action specs should have minimum of 0, got {s}")
     self.q_network = q_network
     self.optimizer = optimizer
     self.epsilon_greedy = epsilon_greedy

@@ -57,7 +57,11 @@ class Normal(Distribution):
   scale: Any
 
   def sample(self, key, sample_shape=()):
-    shape = tuple(sample_shape) + jnp.shape(self.loc)
+    # Batch shape is the BROADCAST of loc and scale (TFP semantics):
+    # Normal(loc=0.0, scale=ones(B)) must draw B independent eps, not
+    # one scalar eps reused across the batch.
+    batch = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+    shape = tuple(sample_shape) + batch
     eps = jax.random.normal(key, shape, jnp.result_type(self.loc))
     return self.loc + self.scale * eps
 
@@ -148,13 +152,15 @@ class SquashedNormal(Distribution):
     return jnp.arctanh(y)
 
   def sample(self, key, sample_shape=()):
-    shape = tuple(sample_shape) + jnp.shape(self.loc)
+    batch = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+    shape = tuple(sample_shape) + batch
     u = self.loc + self.scale * jax.random.normal(
         key, shape, jnp.result_type(self.loc))
     return self._squash(u)
 
   def sample_and_log_prob(self, key, sample_shape=()):
-    shape = tuple(sample_shape) + jnp.shape(self.loc)
+    batch = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+    shape = tuple(sample_shape) + batch
     u = self.loc + self.scale * jax.random.normal(
         key, shape, jnp.result_type(self.loc))
     return self._squash(u), self._log_prob_from_u(u)

@@ -29,11 +29,6 @@ def variance_scaling(scale=2.0):
   return nn.initializers.variance_scaling(scale, "fan_in", "truncated_normal")
 
 
-def final_uniform(scale=0.03):
-  """Reference's final-layer RandomUniform(-scale, scale) initializer."""
-  return nn.initializers.uniform(scale=2 * scale)  # shifted below
-
-
 def _uniform_symmetric(scale):
   def init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -scale, scale)
@@ -75,5 +70,12 @@ class Network:
 
   def copy(self) -> "Network":
     """Same architecture, fresh parameter lineage (reference copy :341) —
-    parameters are external so a copy is just the same wrapper."""
-    return Network(self.module, self.input_spec, self.state_spec)
+    parameters are external so a copy is just the same wrapper. Factory
+    stampings (build_config, action_spec, num_atoms, ...) carry over:
+    without them a copied categorical-q net loses `num_atoms` and a
+    saved policy built on a copy loses its self-contained restore."""
+    new = Network(self.module, self.input_spec, self.state_spec)
+    for k, v in self.__dict__.items():
+      if k not in new.__dict__ or new.__dict__[k] is None:
+        setattr(new, k, v)
+    return new

@@ -21,17 +21,25 @@ from agents_tpu.specs import array_spec
 
 
 class CategoricalProjection(nn.Module):
-  """Logits head -> Categorical (categorical_projection_network.py:33)."""
+  """Logits head -> Categorical (categorical_projection_network.py:33).
+
+  ``event_shape`` preserves the spec's event dims: a (1,)-shaped discrete
+  spec must sample [B, 1], not [B] (the reference reshapes logits to
+  batch + spec.shape + [K])."""
   num_actions: int
   logits_init_scale: float = 0.1
   dtype: Any = jnp.float32
+  event_shape: tuple = ()
 
   @nn.compact
   def __call__(self, features):
+    n = int(np.prod(self.event_shape)) if self.event_shape else 1
     logits = nn.Dense(
-        self.num_actions,
+        n * self.num_actions,
         kernel_init=_uniform_symmetric(self.logits_init_scale),
         bias_init=nn.initializers.zeros, dtype=self.dtype)(features)
+    logits = logits.reshape(logits.shape[:-1] + tuple(self.event_shape)
+                            + (self.num_actions,))
     return dist_lib.Categorical(logits.astype(jnp.float32))
 
 
@@ -119,5 +127,6 @@ def default_projection(sample_spec, continuous_projection=NormalProjection):
     if sample_spec.shape not in ((), (1,)):
       raise ValueError(
           f"Discrete projection requires scalar action spec, got {sample_spec}")
-    return CategoricalProjection(num_actions=sample_spec.num_values)
+    return CategoricalProjection(num_actions=sample_spec.num_values,
+                                 event_shape=tuple(sample_spec.shape))
   return continuous_projection(sample_spec=sample_spec)

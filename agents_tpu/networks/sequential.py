@@ -28,15 +28,36 @@ class SequentialModule(nn.Module):
     states = list(network_state) if isinstance(network_state, (list, tuple)) \
         and len(network_state) == len(self.layers) else [()] * len(
             self.layers)
+
+    def _takes_state(layer):
+      import inspect
+      try:
+        fn = layer.__call__ if not inspect.isfunction(layer) else layer
+        params = inspect.signature(fn).parameters
+      except (TypeError, ValueError):
+        return True  # builtins without signatures: assume full protocol
+      if any(p.kind == inspect.Parameter.VAR_POSITIONAL
+             for p in params.values()):
+        return True
+      positional = [p for p in params.values()
+                    if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                                  inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                    and p.name != "self"]
+      return len(positional) >= 3
     new_states = []
     for layer, st in zip(self.layers, states):
-      try:
+      # Dispatch on the layer's signature, not try/except TypeError: a
+      # TypeError raised INSIDE a stateful layer's body must propagate,
+      # not trigger a silent single-arg re-call (which could also create
+      # a divergent flax param tree if the first call already registered
+      # parameters).
+      if _takes_state(layer):
         out = layer(x, step_type, st)
         if isinstance(out, tuple) and len(out) == 2:
           x, st_new = out
         else:
           x, st_new = out, ()
-      except TypeError:
+      else:
         x, st_new = layer(x), ()
       new_states.append(st_new)
     return x, tuple(new_states)
@@ -63,11 +84,14 @@ class NestMapModule(nn.Module):
     return jax.tree_util.tree_unflatten(treedef, outs), network_state
 
 
-def inner_reshape(inner_shape):
-  """Reshape trailing dims, keeping outer dims (inner_reshape.py:25)."""
+def inner_reshape(inner_shape, inner_rank: int = 1):
+  """Reshape the trailing `inner_rank` dims to `inner_shape`, keeping ALL
+  outer dims (inner_reshape.py:25) — a [B, T, 16] sequence input with
+  inner_shape=(4, 4) becomes [B, T, 4, 4], not a reshape that collapses
+  the time axis."""
 
   def fn(x):
-    return x.reshape(x.shape[:1] + tuple(inner_shape))
+    return x.reshape(x.shape[:x.ndim - inner_rank] + tuple(inner_shape))
 
   return fn
 

@@ -32,6 +32,7 @@ class QPolicy(Policy):
     leaves = jax.tree_util.tree_leaves(
         action_spec, is_leaf=lambda s: hasattr(s, "dtype"))
     self._action_dtype = leaves[0].dtype
+    self._action_minimum = getattr(leaves[0], "minimum", 0)
 
   def q_values(self, params, time_step, state=()):
     obs = time_step.observation
@@ -44,7 +45,16 @@ class QPolicy(Policy):
 
   def _distribution(self, params, time_step, state):
     q, mask, new_state = self.q_values(params, time_step, state)
-    if mask is not None:
+    shift = int(np.asarray(self._action_minimum))
+    if shift != 0:
+      # Nonzero spec minimum: fold any mask into the logits and emit the
+      # shifted distribution (reference q_policy.py:182-189) so sampled
+      # actions live in [min, min+K) like the spec promises.
+      if mask is not None:
+        q = jnp.where(mask, q, dist_lib.NEG_INF)
+      dist = dist_lib.ShiftedCategorical(
+          logits=q, shift=shift, dtype=jnp.dtype(self._action_dtype))
+    elif mask is not None:
       dist = dist_lib.MaskedCategorical(
           logits=q, mask=mask, dtype=jnp.dtype(self._action_dtype))
     else:

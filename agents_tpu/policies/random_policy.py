@@ -34,11 +34,18 @@ class RandomPolicy(Policy):
     if self.emit_log_probability:
       # Uniform log-prob over discrete specs (random_tf_policy.py:112).
       def _lp(s):
+        n_elems = float(np.prod(s.shape)) if s.shape else 1.0
         if array_spec.is_discrete(s):
-          return jnp.full(batch_shape, -np.log(float(s.num_values)),
+          # Joint log-prob over ALL spec elements: a (k,)-shaped
+          # discrete spec is k independent uniform draws.
+          return jnp.full(batch_shape,
+                          -n_elems * np.log(float(s.num_values)),
                           jnp.float32)
-        rng = np.asarray(s.maximum, np.float64) - np.asarray(
-            s.minimum, np.float64)
+        # Broadcast scalar bounds to the spec shape before summing —
+        # scalar bounds on a (k,) spec must still contribute k terms.
+        rng = np.broadcast_to(
+            np.asarray(s.maximum, np.float64)
+            - np.asarray(s.minimum, np.float64), s.shape or (1,))
         return jnp.full(batch_shape,
                         -float(np.sum(np.log(rng))), jnp.float32)
 

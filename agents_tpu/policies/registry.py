@@ -85,7 +85,10 @@ def policy_config(policy) -> Optional[dict]:
   if type(policy) is cp.CEMPolicy:
     from agents_tpu.policies.cem_samplers import GaussianContinuousSampler
     if (_net_cfg(policy.q_network) is None
-        or type(policy.sampler) is not GaussianContinuousSampler):
+        or type(policy.sampler) is not GaussianContinuousSampler
+        # sample_clippers are arbitrary callables; silently dropping them
+        # would rebuild a policy that proposes infeasible candidates.
+        or getattr(policy.sampler, "sample_clippers", None)):
       return None
     return {"type": "CEMPolicy", "network": _net_cfg(policy.q_network),
             "kwargs": {"num_samples": policy.num_samples,

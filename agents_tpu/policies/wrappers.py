@@ -25,7 +25,9 @@ class GreedyPolicy(Policy):
   def __init__(self, wrapped: Policy):
     super().__init__(wrapped.time_step_spec, wrapped.action_spec,
                      info_spec=wrapped.info_spec,
-                     state_spec=wrapped.state_spec, clip=wrapped.clip)
+                     state_spec=wrapped.state_spec,
+                     emit_log_probability=wrapped.emit_log_probability,
+                     clip=wrapped.clip)
     self.wrapped = wrapped
 
   def _action(self, params, time_step, state, key):
@@ -33,12 +35,24 @@ class GreedyPolicy(Policy):
     action = jax.tree_util.tree_map(
         lambda d: d.mode(), dstep.action,
         is_leaf=lambda d: hasattr(d, "mode"))
-    return ps.PolicyStep(action=action, state=dstep.state, info=dstep.info)
+    info = dstep.info
+    if self.emit_log_probability:
+      # Deterministic mode: log-prob 0 (the reference wraps the mode in
+      # DeterministicWithLogProb, greedy_policy.py).
+      info = ps.set_log_probability(
+          info, jnp.zeros(jnp.shape(time_step.step_type), jnp.float32))
+    return ps.PolicyStep(action=action, state=dstep.state, info=info)
 
   def _distribution(self, params, time_step, state):
     dstep = self.wrapped._distribution(params, time_step, state)
     action = jax.tree_util.tree_map(
-        lambda d: dist_lib.Deterministic(d.mode()), dstep.action,
+        # Preserve the wrapped distribution's event-dim reduction so
+        # log_prob keeps its [B] shape (e.g. SquashedNormal event_ndims=1).
+        lambda d: dist_lib.Deterministic(
+            d.mode(), event_ndims=getattr(
+                d, "event_ndims",
+                getattr(d, "reinterpreted_batch_ndims", 0))),
+        dstep.action,
         is_leaf=lambda d: hasattr(d, "mode"))
     return dstep.replace(action=action)
 
