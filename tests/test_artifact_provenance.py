@@ -218,16 +218,35 @@ def test_cql_offline_beats_behavior_on_mixed_data():
 def test_round4_artifact_manifest():
   """Round-end manifest: every artifact this round PROMISES must exist.
   A missing one fails here by name — promised-but-absent can never read
-  as green. (Humanoid-v5 5M is the declared stretch; its miss is
-  documented in docs/sac_task_table.md, not silently absent.)"""
+  as green."""
   promised = [
       "sac_walker2d_1m_s0.jsonl",
       "sac_ant_1m_s0.jsonl",
       "sac_hopper_1m_s1.jsonl",
       "sac_hopper_1m_s2.jsonl",
       "cql_sac_offline_mixed.jsonl",
+      "sac_humanoid_partial_s0.jsonl",
   ]
   missing = [f for f in promised
              if not os.path.exists(os.path.join(BASE, f))]
   if missing:
     pytest.xfail(f"round-4 promised artifacts still missing: {missing}")
+
+
+def test_sac_humanoid_partial_curve():
+  """Humanoid-v5, the reference's hardest published SAC point (7,455 @
+  5M, examples/sac/README.md:66): a full 5M run costs ~3.75 h of wall
+  clock at the measured 370 env-steps/s, beyond one round's budget, so
+  the committed artifact is an explicitly PARTIAL run (~1.9M steps,
+  wall-clock time-boxed) at the exact humanoid.gin operating point
+  (initial_collect_steps≈1000, everything else haarnoja18). The band
+  checks the curve is genuinely learning Humanoid, not collapsed:
+  greedy eval must exceed 4,500 at >=1.5M steps (softlearning-era SAC
+  curves pass ~5k around 1.5-2M en route to 7-8k at 5M; a failed
+  Humanoid run hovers near the ~300-1,000 survival floor)."""
+  _landed("sac_humanoid_partial_s0.jsonl")
+  evals = _evals(os.path.join(BASE, "sac_humanoid_partial_s0.jsonl"))
+  assert evals, "no greedy-eval points in Humanoid partial artifact"
+  late = [r for s, r in evals if s >= 1_500_000]
+  assert late, f"run ended before 1.5M steps: last point {evals[-1]}"
+  assert max(late) >= 4_500.0, late
