@@ -175,8 +175,13 @@ class GreedyRewardPredictionAgent(Agent):
     from agents_tpu.bandits.specs import bandit_spec_utils as bsu
     exp = _squeeze_bandit_batch(experience)
     if not self.constraints:
+      obs = exp.observation
+      if self.splitter is not None:
+        # Train on the same split observation the policy acts on — the
+        # raw composite (obs, mask) must not reach the reward network.
+        obs, _ = self.splitter(obs)
       preds, _ = self.reward_network.apply(
-          params, exp.observation, exp.step_type, ())
+          params, obs, exp.step_type, ())
       chosen = common.index_with_actions(preds, exp.action)
       per_example = self.error_loss_fn(exp.reward, chosen)
       return common.aggregate_losses(per_example_loss=per_example,

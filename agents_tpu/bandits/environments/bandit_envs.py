@@ -63,6 +63,15 @@ class BanditJaxEnvironment(JaxEnvironment):
                         round=jnp.zeros((), jnp.int32))
     return state, ts.restart(context, reward_spec=self.reward_spec())
 
+  def auto_reset(self, state, key):
+    """Between-episode reset that PRESERVES env time (BatchedJaxEnv
+    auto-reset hook): bandit episodes are length 1 and `step` already
+    staged the next round's context and round counter in `state`;
+    rewinding to reset(key) (round=0) would freeze every non-stationary
+    env (drifting/piecewise schedules) at t=0 forever."""
+    del key
+    return state, ts.restart(state.context, reward_spec=self.reward_spec())
+
   def step(self, state: BanditState, action, key):
     k_rew, k_ctx = jax.random.split(key)
     reward = self._reward(state.context, action, k_rew, state.round)
@@ -272,6 +281,10 @@ class ClassificationBandit(BanditJaxEnvironment):
 
   def reset(self, key):
     state, time_step = super().reset(key)
+    return state, time_step.replace(observation=time_step.observation[:-1])
+
+  def auto_reset(self, state, key):
+    state, time_step = super().auto_reset(state, key)
     return state, time_step.replace(observation=time_step.observation[:-1])
 
   def step(self, state, action, key):

@@ -162,9 +162,27 @@ class BernoulliActionMaskBandit(BanditJaxEnvironment):
     return self.env._reward(inner, action, key, round_)
 
   def optimal_reward_fn(self, observation):
+    """Best expected reward over FEASIBLE arms. Comparing regret against
+    masked-out arms would give even an oracle policy a positive regret
+    floor whenever the globally-best arm is infeasible."""
+    if (isinstance(observation, tuple)
+        and hasattr(self.env, "expected_rewards")):
+      inner, mask = observation[0], observation[1]
+      er = self.env.expected_rewards(inner)
+      return jnp.max(jnp.where(mask.astype(bool), er, -jnp.inf), axis=-1)
     inner = (observation[0]
              if isinstance(observation, tuple) else observation)
-    return self.env.optimal_reward_fn(inner)
+    return self.env.optimal_reward_fn(inner)  # upper bound (no mask info)
+
+  def optimal_action_fn(self, observation):
+    if (isinstance(observation, tuple)
+        and hasattr(self.env, "expected_rewards")):
+      inner, mask = observation[0], observation[1]
+      er = self.env.expected_rewards(inner)
+      return jnp.argmax(jnp.where(mask.astype(bool), er, -jnp.inf), axis=-1)
+    inner = (observation[0]
+             if isinstance(observation, tuple) else observation)
+    return self.env.optimal_action_fn(inner)
 
 
 class FeedbackModel(enum.IntEnum):

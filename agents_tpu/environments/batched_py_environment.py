@@ -90,9 +90,16 @@ class BatchedPyEnvironment(PyEnvironment):
     return env.step(action)
 
   def seed(self, seeds):
-    seeds = np.broadcast_to(seeds, (len(self._envs),))
+    if np.ndim(seeds) == 0:
+      # A scalar seed must NOT give every row the same RNG stream (that
+      # would collapse a batch of N envs to 1 env's worth of data);
+      # derive distinct per-row seeds.
+      seeds = int(seeds) + np.arange(len(self._envs))
+    seeds = np.asarray(seeds)
+    if seeds.shape != (len(self._envs),):
+      raise ValueError(f"need {len(self._envs)} seeds, got {seeds.shape}")
     return self._execute(
-        lambda es: es[0].seed(es[1]), list(zip(self._envs, seeds)))
+        lambda es: es[0].seed(int(es[1])), list(zip(self._envs, seeds)))
 
   def close(self):
     self._execute(lambda e: e.close(), self._envs)

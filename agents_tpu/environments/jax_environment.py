@@ -72,6 +72,14 @@ class BatchedJaxEnv:
     self.batch_size = batch_size
     self._reset1 = env.reset
     self._step1 = env.step
+    # Envs whose state carries monotone env time (bandit `round`) define
+    # auto_reset(stepped_state, key) so the auto-reset path does NOT
+    # rewind them to t=0 — without this every length-1 bandit episode
+    # froze non-stationary envs at round 0.
+    if hasattr(env, "auto_reset"):
+      self._autoreset1 = env.auto_reset
+    else:
+      self._autoreset1 = lambda _stepped, k: self._reset1(k)
 
   def observation_spec(self):
     return self.env.observation_spec()
@@ -101,7 +109,10 @@ class BatchedJaxEnv:
             key, self.batch_size))
 
     stepped_state, stepped_ts = jax.vmap(self._step1)(state, action, step_keys)
-    reset_state, reset_ts = jax.vmap(self._reset1)(reset_keys)
+    # auto_reset sees the PRE-step state: on a LAST frame the incoming
+    # action is discarded, and for bandits that state already holds the
+    # next round's context/round counter.
+    reset_state, reset_ts = jax.vmap(self._autoreset1)(state, reset_keys)
 
     needs_reset = prev_time_step.is_last()
 

@@ -191,7 +191,13 @@ class ParallelPyEnvironment(PyEnvironment):
     return self._current_time_step
 
   def seed(self, seeds):
-    seeds = np.broadcast_to(seeds, (len(self._procs),))
+    if np.ndim(seeds) == 0:
+      # Distinct per-process streams; a broadcast scalar would collapse
+      # the batch to one env's worth of data (see BatchedPyEnvironment).
+      seeds = int(seeds) + np.arange(len(self._procs))
+    seeds = np.asarray(seeds)
+    if seeds.shape != (len(self._procs),):
+      raise ValueError(f"need {len(self._procs)} seeds, got {seeds.shape}")
     promises = [
         p.call("seed", int(s)) for p, s in zip(self._procs, seeds)
     ]

@@ -312,3 +312,31 @@ def test_positional_bias_probs_validated():
         item_sampling_fn=lambda k: jnp.ones((2,)),
         relevance_fn=lambda g, i: 0.5, num_items=3,
         observation_probs=[1.5], global_dim=2, item_dim=2)
+
+
+def test_nonstationary_round_advances_across_auto_reset():
+  """Bandit episodes are length 1, so BatchedJaxEnv auto-resets every
+  step; env time (state.round) must keep advancing or every drifting/
+  piecewise schedule silently freezes at t=0 (round-4 review finding)."""
+  import jax
+  import jax.numpy as jnp
+
+  from agents_tpu.bandits.environments.bandit_envs import (
+      StationaryStochasticBandit,)
+  from agents_tpu.environments.jax_environment import BatchedJaxEnv
+
+  env = BatchedJaxEnv(
+      StationaryStochasticBandit(
+          arm_parameters=np.eye(2, dtype=np.float32), noise_std=0.0),
+      batch_size=3)
+  key = jax.random.key(0)
+  state, tstep = env.reset(key)
+  step = jax.jit(env.step)
+  for i in range(5):
+    key, sub = jax.random.split(key)
+    state, tstep = step(state, tstep,
+                        jnp.zeros((3,), jnp.int32), sub)
+  # 5 batched steps alternate LAST/auto-reset-FIRST; round never rewinds
+  # to 0 and strictly advances with each completed bandit round.
+  rounds = np.asarray(state.round)
+  assert rounds.min() >= 2, rounds
