@@ -49,7 +49,11 @@ def load_atari(game: str = "PongNoFrameskip-v4",
   if max_episode_steps:
     py_env = wrappers.TimeLimit(py_env, max_episode_steps)
   if frame_stack > 1:
-    py_env = wrappers.HistoryWrapper(py_env, history_length=frame_stack)
+    # Atari-style stacking tiles the first frame (reference FrameStack4,
+    # atari_wrappers.py:31); HistoryWrapper's own default (False)
+    # zero-pads like the reference HistoryWrapper (wrappers.py:1029).
+    py_env = wrappers.HistoryWrapper(py_env, history_length=frame_stack,
+                                     tile_first_step_obs=True)
   return py_env
 
 

@@ -73,20 +73,26 @@ class TimeLimit(PyEnvironmentBaseWrapper):
     self._num_steps = None
 
   def _reset(self):
-    self._num_steps = 0
-    return self._env.reset()
+    time_step = self._env.reset()
+    self._num_steps = np.zeros(np.shape(time_step.step_type), np.int64)
+    return time_step
 
   def _step(self, action):
     if self._num_steps is None:
       return self._reset()
     time_step = self._env.step(action)
-    self._num_steps += 1
-    if self._num_steps >= self._duration and not np.any(
-        time_step.step_type == ts.StepType.LAST):
+    st = np.asarray(time_step.step_type)
+    # Per-row accounting: rows of a batched env hit the limit
+    # independently. A freshly auto-reset FIRST row restarts its count;
+    # stamping ALL rows LAST whenever the global count expired would
+    # corrupt such rows (FIRST frame rewritten as LAST, length-1
+    # episodes).
+    self._num_steps = np.where(st == ts.StepType.FIRST, 0,
+                               self._num_steps + 1)
+    over = (self._num_steps >= self._duration) & (st == ts.StepType.MID)
+    if np.any(over):
       time_step = time_step.replace(
-          step_type=np.full_like(time_step.step_type, ts.StepType.LAST))
-    if np.all(time_step.step_type == ts.StepType.LAST):
-      self._num_steps = None
+          step_type=np.where(over, ts.StepType.LAST, st).astype(st.dtype))
     return time_step
 
   @property
@@ -316,14 +322,12 @@ class HistoryWrapper(PyEnvironmentBaseWrapper):
   stacked on the last axis (reference :1021), optionally with actions."""
 
   def __init__(self, env, history_length: int = 3,
-               include_actions: bool = False, tile_first_step_obs=True):
+               include_actions: bool = False, tile_first_step_obs=False):
     super().__init__(env)
     self._history_length = history_length
     self._include_actions = include_actions
     obs_spec = env.observation_spec()
-    if not isinstance(obs_spec, array_spec.ArraySpec) or isinstance(
-        obs_spec, dict):
-      pass
+    self._tile_first_step_obs = tile_first_step_obs
     self._obs_spec_single = obs_spec
     stack = lambda s: s.replace(
         shape=s.shape[:-1] + (s.shape[-1] * history_length,)) \
@@ -358,12 +362,23 @@ class HistoryWrapper(PyEnvironmentBaseWrapper):
     return array_spec.map_spec_nest(
         lambda s: np.zeros(s.shape, s.dtype), self._env.action_spec())
 
+  def _zero_obs(self):
+    return array_spec.map_spec_nest(
+        lambda s: np.zeros(s.shape, s.dtype), self._obs_spec_single)
+
   def _reset(self):
     time_step = self._env.reset()
-    import jax
-    for _ in range(self._history_length):
-      self._obs_history.append(time_step.observation)
+    # tile_first_step_obs=False (reference default): pre-episode history
+    # is ZERO frames so the agent can distinguish an episode start from
+    # history_length repeats of the same real frame; True tiles the
+    # first observation (environments/wrappers.py:1021).
+    pad = (time_step.observation if self._tile_first_step_obs
+           else self._zero_obs())
+    for _ in range(self._history_length - 1):
+      self._obs_history.append(pad)
       self._action_history.append(self._zero_action())
+    self._obs_history.append(time_step.observation)
+    self._action_history.append(self._zero_action())
     return time_step.replace(observation=self._stack())
 
   def _step(self, action):
@@ -372,9 +387,13 @@ class HistoryWrapper(PyEnvironmentBaseWrapper):
       # auto-reset happened underneath
       self._obs_history.clear()
       self._action_history.clear()
-      for _ in range(self._history_length):
-        self._obs_history.append(time_step.observation)
+      pad = (time_step.observation if self._tile_first_step_obs
+             else self._zero_obs())
+      for _ in range(self._history_length - 1):
+        self._obs_history.append(pad)
         self._action_history.append(self._zero_action())
+      self._obs_history.append(time_step.observation)
+      self._action_history.append(self._zero_action())
       return time_step.replace(observation=self._stack())
     self._obs_history.append(time_step.observation)
     self._action_history.append(np.asarray(action))
