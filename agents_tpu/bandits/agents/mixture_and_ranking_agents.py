@@ -47,7 +47,14 @@ class MixtureAgentState:
 class _MixturePolicy(Policy):
 
   def __init__(self, time_step_spec, action_spec, sub_policies):
-    super().__init__(time_step_spec, action_spec, clip=False)
+    from agents_tpu.specs import array_spec as _aspec
+    # The chosen component rides in policy_info so Exp3 credit can go to
+    # the sub-agent that actually produced the action (reference
+    # exp3_mixture_agent.py MixtureInfo).
+    super().__init__(
+        time_step_spec, action_spec, clip=False,
+        info_spec={"mixture_choice": _aspec.BoundedArraySpec(
+            (), np.int32, 0, len(sub_policies) - 1, "mixture_choice")})
     self.sub_policies = tuple(sub_policies)
 
   def _action(self, params, time_step, state, key):
@@ -64,7 +71,8 @@ class _MixturePolicy(Policy):
     ]
     stacked = jnp.stack(actions, axis=0)  # [N, B]
     action = jnp.take_along_axis(stacked, choice[None, :], axis=0)[0]
-    return ps.PolicyStep(action=action, state=state, info=())
+    return ps.PolicyStep(action=action, state=state,
+                         info={"mixture_choice": choice.astype(jnp.int32)})
 
   def _distribution(self, params, time_step, state):
     raise NotImplementedError
@@ -111,11 +119,17 @@ class MixtureAgent(Agent):
     logw = agent_state.mixture_log_weights
     if self.learning_rate > 0:
       exp = _squeeze_bandit_batch(experience)
-      # Exp3-style: reward credit to the mixture components
-      # (exp3_mixture_agent.py's variance-adjusted estimate, simplified).
+      # Exp3: importance-weighted credit ONLY to the component that
+      # produced each action, r/p_c at the recorded choice (reference
+      # exp3_mixture_agent.py). Crediting every component with mean_r/p_i
+      # would boost low-probability components fastest regardless of
+      # merit, driving the mixture toward uniform.
       probs = jax.nn.softmax(logw)
-      mean_r = jnp.mean(exp.reward)
-      logw = logw + self.learning_rate * mean_r / jnp.maximum(probs, 1e-8)
+      choice = exp.policy_info["mixture_choice"].astype(jnp.int32)
+      onehot = jax.nn.one_hot(choice, len(self.agents))     # [B, N]
+      est = onehot * (exp.reward[:, None]
+                      / jnp.maximum(probs[None, :], 1e-8))
+      logw = logw + self.learning_rate * jnp.mean(est, axis=0)
     new_state = MixtureAgentState(
         sub_states=tuple(new_subs), mixture_log_weights=logw,
         train_step=agent_state.train_step + 1)

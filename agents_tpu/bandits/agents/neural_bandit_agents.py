@@ -547,9 +547,21 @@ class NeuralLinUcbAgent(Agent):
     onehot = jax.nn.one_hot(exp.action.astype(jnp.int32), self.num_actions)
     delta_a = jnp.einsum("bk,bi,bj->kij", onehot, feats, feats)
     delta_b = jnp.einsum("bk,b,bi->ki", onehot, exp.reward, feats)
+    # Train encoder XOR update the (A, b) posterior (reference
+    # neural_linucb_agent.py phase alternation): features extracted while
+    # the encoder is still moving would permanently contaminate the UCB
+    # statistics accumulated for later phases.
+    g, d = self.gamma, delta_a.shape[-1]
+    # Re-add the decayed identity prior so gamma < 1 forgetting cannot
+    # decay A toward singular for rarely-pulled arms (mirrors
+    # linear_bandit_agent.py:104-105).
+    eye = jnp.eye(d, dtype=delta_a.dtype)[None]
+    a_next = g * agent_state.a_mat + (1 - g) * eye + delta_a
+    b_next = g * agent_state.b_vec + delta_b
+    keep = in_phase  # encoding phase: (A, b) frozen
     new_state = NeuralLinUcbState(
         encoder_params=encoder_params, opt_state=opt_state,
-        a_mat=self.gamma * agent_state.a_mat + delta_a,
-        b_vec=self.gamma * agent_state.b_vec + delta_b,
+        a_mat=jnp.where(keep, agent_state.a_mat, a_next),
+        b_vec=jnp.where(keep, agent_state.b_vec, b_next),
         train_step=agent_state.train_step + 1)
     return new_state, LossInfo(loss, ())

@@ -69,7 +69,7 @@ class GymWrapper(PyEnvironment):
 
   def __init__(self, gym_env, discount: float = 1.0,
                auto_reset: bool = True):
-    super().__init__()
+    super().__init__(handle_auto_reset=auto_reset)
     self._gym_env = gym_env
     self._discount = discount
     self._observation_spec = spec_from_gym_space(

@@ -65,8 +65,13 @@ class PyEnvironment(abc.ABC):
   """Reference-parity surface: reset/step/current_time_step, batched props,
   render/seed/close/get_state/set_state."""
 
-  def __init__(self):
+  def __init__(self, handle_auto_reset: bool = True):
+    # handle_auto_reset=False restores reference opt-out semantics
+    # (py_environment.py:52-59,117): stepping past LAST is then the
+    # caller's responsibility (manual reset), e.g. GymWrapper(
+    # auto_reset=False) for eval loops that count episodes by reset().
     self._current_time_step: Optional[ts.TimeStep] = None
+    self._handle_auto_reset = handle_auto_reset
 
   @property
   def batched(self) -> bool:
@@ -103,7 +108,8 @@ class PyEnvironment(abc.ABC):
     if self._current_time_step is None:
       return self.reset()
     # Auto-reset protocol (reference :203-240).
-    if np.all(self._current_time_step.step_type == ts.StepType.LAST):
+    if getattr(self, "_handle_auto_reset", True) and np.all(
+        self._current_time_step.step_type == ts.StepType.LAST):
       return self.reset()
     self._current_time_step = self._step(action)
     return self._current_time_step

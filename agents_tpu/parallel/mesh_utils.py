@@ -57,13 +57,35 @@ def shard_loop_state(loop_state, mesh: Mesh, batch_size: int,
   s_b0 = NamedSharding(mesh, P(axis_name))
   s_b1 = NamedSharding(mesh, P(None, axis_name))
 
-  def place(x):
+  def _top(path):
+    if not path:
+      return ""
+    k = path[0]
+    return getattr(k, "name", getattr(k, "key", str(k)))
+
+  def place(path, x):
+    # Placement keys on the LoopState FIELD first, shape second: pure
+    # shape matching mis-shards whenever dims collide (replay storage
+    # with capacity == batch_size would get P('data') on the CAPACITY
+    # axis; an agent-state matrix with dim0 == batch_size would be
+    # split instead of replicated) — correct-but-slow under GSPMD, with
+    # full reshards every iteration.
+    top = _top(path)
     shape = jnp.shape(x)
+    if top == "agent_state":
+      return jax.device_put(x, rep)  # params/opt state replicate (DP)
+    if top == "replay_state":
+      if len(shape) >= 2 and shape[1] == batch_size and (
+          replay_capacity is None or shape[0] == replay_capacity):
+        return jax.device_put(x, s_b1)   # storage [capacity, B, ...]
+      if len(shape) >= 1 and shape[0] == batch_size:
+        return jax.device_put(x, s_b0)   # per-row cursors/ids
+      return jax.device_put(x, rep)
     if len(shape) >= 1 and shape[0] == batch_size:
-      return jax.device_put(x, s_b0)
+      return jax.device_put(x, s_b0)     # driver/metric per-row state
     if (replay_capacity is not None and len(shape) >= 2
         and shape[0] == replay_capacity and shape[1] == batch_size):
       return jax.device_put(x, s_b1)
     return jax.device_put(x, rep)
 
-  return jax.tree_util.tree_map(place, loop_state)
+  return jax.tree_util.tree_map_with_path(place, loop_state)
