@@ -20,7 +20,8 @@ import numpy as np
 
 
 class LinearNormalReward:
-  """r(x) = thetaᵀx (+ N(0, sigma²) when a key is given) — reference :33."""
+  """r(x) = thetaᵀx (+ zero-mean noise of VARIANCE sigma when a key is
+  given; the code scales by sqrt(sigma)) — reference :33."""
 
   def __init__(self, theta, sigma: float = 0.0):
     self.theta = jnp.asarray(theta, jnp.float32)

@@ -129,12 +129,14 @@ class ParallelPyEnvironment(PyEnvironment):
     super().__init__()
     self._blocking = blocking
     self._procs = [ProcessPyEnvironment(c) for c in env_ctors]
-    if start_serially:
-      for p in self._procs:
-        p.start()
-    else:
-      for p in self._procs:
-        p.start()
+    # start() only forks the worker and returns; readiness is awaited
+    # lazily at the first pipe call, so serial and parallel start are
+    # identical here. The flag is kept for reference signature parity
+    # (parallel_py_environment.py:47), where start can block on env
+    # construction.
+    del start_serially
+    for p in self._procs:
+      p.start()
     self._observation_spec = self._procs[0].call_sync("observation_spec")
     self._action_spec = self._procs[0].call_sync("action_spec")
     self._reward_spec = self._procs[0].call_sync("reward_spec")

@@ -208,7 +208,6 @@ class ActionDiscretizeWrapper(PyEnvironmentBaseWrapper):
     if not array_spec.is_continuous(spec):
       raise ValueError("ActionDiscretizeWrapper requires a continuous spec")
     self._num_actions = np.broadcast_to(np.asarray(num_actions), spec.shape)
-    limits = np.broadcast_to(1, spec.shape)
     lows = np.broadcast_to(spec.minimum, spec.shape)
     highs = np.broadcast_to(spec.maximum, spec.shape)
     self._action_map = [
