@@ -59,9 +59,15 @@ class DequeState:
     cap = self.data.shape[0]
     mask_i = mask.astype(jnp.int32)
     rank = jnp.cumsum(mask_i) - mask_i           # exclusive prefix count
-    pos = jnp.where(mask, (self.count + rank) % cap, cap)
+    total = jnp.sum(mask_i)
+    # More masked-in rows than capacity (e.g. a whole lockstep batch
+    # finishing on the same scan step): keep the LAST `cap` of them —
+    # their ranks are consecutive so ring indices stay unique; scattering
+    # all of them would leave XLA to pick an arbitrary duplicate per slot.
+    keep = mask & (rank >= total - cap)
+    pos = jnp.where(keep, (self.count + rank) % cap, cap)
     new_data = self.data.at[pos].set(values, mode="drop")
-    return DequeState(data=new_data, count=self.count + jnp.sum(mask_i))
+    return DequeState(data=new_data, count=self.count + total)
 
   @property
   def _valid(self):

@@ -54,6 +54,15 @@ class EpisodicReplay:
 
   def __init__(self, data_spec, batch_size: int, num_slots: int,
                max_episode_len: int):
+    if num_slots < 2 * batch_size + 1:
+      # Worst case one add_batch call: B rows hold open slots AND all B
+      # complete, each needing a fresh slot while its just-committed
+      # slot stays protected — 2B busy slots; fresh-slot assignment
+      # (which skips busy slots) needs at least one free.
+      raise ValueError(
+          f"num_slots ({num_slots}) must be >= 2*batch_size+1 "
+          f"({2 * batch_size + 1}) so fresh-slot assignment always "
+          "finds a free slot")
     self.data_spec = data_spec
     self.batch_size = batch_size
     self.num_slots = num_slots
@@ -101,23 +110,39 @@ class EpisodicReplay:
     completed = jnp.sum(done.astype(jnp.int32))
     completed_ids = jnp.where(done, state.episode_ids[state.open_slot], -1)
 
-    # Assign fresh slots to completed rows (ring over slots); rows that
-    # did not finish scatter out of bounds (dropped).
+    # Assign fresh slots to completed rows from the ring cursor,
+    # SKIPPING slots that are busy: still open for another row, or just
+    # committed this call. A plain `(next_slot + order) % num_slots`
+    # collides after the ring wraps — two rows then interleave frames
+    # into one slot and `lengths.at[fresh].set(0)` wipes a newest-first
+    # committed episode instead of the oldest.
+    ns = self.num_slots
+    busy = jnp.zeros((ns,), bool).at[state.open_slot].set(True)
+
+    def assign(carry, d):
+      cursor, busy_m = carry
+      free = jax.lax.while_loop(
+          lambda c: busy_m[c % ns], lambda c: c + 1, cursor)
+      slot = free % ns
+      new_busy = jnp.where(d, busy_m.at[slot].set(True), busy_m)
+      new_cursor = jnp.where(d, free + 1, cursor)
+      return (new_cursor, new_busy), jnp.where(d, slot, ns)
+
+    (final_cursor, _), fresh = jax.lax.scan(
+        assign, (state.next_slot, busy), done)
     order = jnp.cumsum(done.astype(jnp.int32)) - done.astype(jnp.int32)
-    fresh = (state.next_slot + order) % self.num_slots
     open_slot = jnp.where(done, fresh, state.open_slot)
     open_len = jnp.where(done, 0, new_len)
     # Newly opened slots are cleared (length 0 marks in-progress) and
-    # receive fresh monotone episode ids.
-    scatter_idx = jnp.where(done, fresh, self.num_slots)
-    lengths = lengths.at[scatter_idx].set(0, mode="drop")
+    # receive fresh monotone episode ids; non-completing rows emitted
+    # `ns` and are dropped by the scatter.
+    lengths = lengths.at[fresh].set(0, mode="drop")
     new_ids = state.next_episode_id + order
-    episode_ids = state.episode_ids.at[scatter_idx].set(
-        new_ids, mode="drop")
+    episode_ids = state.episode_ids.at[fresh].set(new_ids, mode="drop")
 
     new_state = EpisodicReplayState(
         storage=storage, lengths=lengths, episode_ids=episode_ids,
-        next_slot=(state.next_slot + completed) % self.num_slots,
+        next_slot=final_cursor % ns,
         next_episode_id=state.next_episode_id + completed,
         open_slot=open_slot, open_len=open_len,
         num_completed=state.num_completed + completed)
@@ -172,6 +197,12 @@ class EpisodicReplay:
     and lengths (reference BufferInfo episode ids)."""
     eff = self._effective_lengths(state, completed_only)
     valid = eff > 0
+    # Empty-buffer guard (same contract as uniform_replay.check_min_size):
+    # with zero valid slots the masked categorical would silently return
+    # arbitrary uninitialized episodes with all-zero masks, and a
+    # mask-weighted mean downstream turns into NaN.
+    from agents_tpu.replay_buffers.uniform_replay import check_min_size
+    check_min_size(jnp.sum(valid.astype(jnp.int32)), 1)
     # Uniform over valid slots via masked categorical.
     logits = jnp.where(valid, 0.0, -1e9)
     slots = jax.random.categorical(

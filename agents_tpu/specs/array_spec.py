@@ -225,6 +225,39 @@ def sample_spec(spec: ArraySpec, key: jax.Array) -> jax.Array:
   return jax.random.normal(key, shape, dtype=spec.dtype)
 
 
+def np_sample_spec_nest(specs, rng, outer_dims: Sequence[int] = ()):
+  """Numpy twin of sample_spec_nest for host-side warmup collection.
+
+  Integer bounded specs sample uniformly over the INCLUSIVE range
+  [minimum, maximum] via randint(lo, hi + 1) — float-uniform + astype
+  truncation would never produce the max action and, for a 2-action
+  spec, would emit action 0 every time."""
+  outer = tuple(outer_dims)
+
+  def _one(s):
+    shape = outer + tuple(s.shape)
+    if isinstance(s, BoundedArraySpec):
+      lo = np.broadcast_to(s.minimum, s.shape)
+      hi = np.broadcast_to(s.maximum, s.shape)
+      if np.issubdtype(s.dtype, np.integer):
+        return rng.randint(np.broadcast_to(lo, shape),
+                           np.broadcast_to(hi, shape).astype(np.int64) + 1
+                           ).astype(s.dtype)
+      if s.dtype == np.bool_:
+        return rng.rand(*shape) < 0.5
+      lo_c = np.maximum(lo.astype(np.float64), -1e6)
+      hi_c = np.minimum(hi.astype(np.float64), 1e6)
+      return rng.uniform(np.broadcast_to(lo_c, shape),
+                         np.broadcast_to(hi_c, shape)).astype(s.dtype)
+    if np.issubdtype(s.dtype, np.integer):
+      return rng.randint(-(2**28), 2**28, size=shape).astype(s.dtype)
+    if s.dtype == np.bool_:
+      return rng.rand(*shape) < 0.5
+    return rng.standard_normal(shape).astype(s.dtype)
+
+  return map_spec_nest(_one, specs)
+
+
 def sample_spec_nest(specs, key: jax.Array, outer_dims: Sequence[int] = ()):
   """Sample a nest of arrays conforming to a nest of specs.
 

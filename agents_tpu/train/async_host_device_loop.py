@@ -48,7 +48,8 @@ class AsyncHostDeviceTrainLoop:
     self.min_replay_frames = min_replay_frames
     self.py_metrics = list(py_metrics)
 
-    self._collect_prog = jax.jit(self._collect_fn)
+    self._collect_prog = jax.jit(self._collect_fn,
+                                 static_argnames=("insert",))
     self._train_prog = jax.jit(self._train_fn)
 
     self._replay_state = None
@@ -61,10 +62,15 @@ class AsyncHostDeviceTrainLoop:
 
   # -- device programs -------------------------------------------------------
   def _collect_fn(self, replay_state, params, host_ts, prev_ts, prev_action,
-                  key):
-    frame = tj.from_transition(
-        prev_ts, ps.PolicyStep(action=prev_action), host_ts)
-    replay_state = self.replay.add_batch(replay_state, frame)
+                  key, insert=True):
+    # `insert` is static: tick 0 has no real previous transition — a
+    # from_transition(reset_ts, zero_action, reset_ts) frame would plant
+    # one fabricated FIRST->FIRST self-transition (with an action never
+    # taken) in the valid sampling window of every run.
+    if insert:
+      frame = tj.from_transition(
+          prev_ts, ps.PolicyStep(action=prev_action), host_ts)
+      replay_state = self.replay.add_batch(replay_state, frame)
     action_step = self.agent.collect_policy.action(params, host_ts, (), key)
     return replay_state, action_step.action
 
@@ -146,12 +152,8 @@ class AsyncHostDeviceTrainLoop:
         self.agent.action_spec, outer_dims=(B,))
 
     def random_action():
-      return array_spec.map_spec_nest(
-          lambda s: rng.uniform(
-              np.maximum(np.asarray(s.minimum, np.float64), -1e6),
-              np.minimum(np.asarray(s.maximum, np.float64), 1e6),
-              size=(B,) + s.shape).astype(s.dtype),
-          self.agent.action_spec)
+      return array_spec.np_sample_spec_nest(
+          self.agent.action_spec, rng, outer_dims=(B,))
 
     trainer = threading.Thread(
         target=self._trainer_loop, args=(seed + 2,), daemon=True)
@@ -164,7 +166,7 @@ class AsyncHostDeviceTrainLoop:
         params = self.agent.collect_policy_params(self._agent_state)
         self._replay_state, action = self._collect_prog(
             self._replay_state, params, time_step, prev_ts, prev_action,
-            sub)
+            sub, insert=tick > 0)
         if tick * B < initial_random_steps * B and \
             tick < max(initial_random_steps, 1):
           action_np = random_action()

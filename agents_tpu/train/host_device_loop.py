@@ -56,7 +56,8 @@ class HostDeviceTrainLoop:
     self.train_steps_per_tick = train_steps_per_tick
     self.sample_batch_size = sample_batch_size
     self.py_metrics = list(py_metrics)
-    self._compiled_collect = jax.jit(self._device_collect_only)
+    self._compiled_collect = jax.jit(self._device_collect_only,
+                                     static_argnames=("insert",))
     self._compiled_step = jax.jit(self._device_step)
 
   # -- device programs -------------------------------------------------------
@@ -72,7 +73,17 @@ class HostDeviceTrainLoop:
     return dev.replace(replay_state=replay_state, key=key), action_step
 
   def _device_collect_only(self, dev: DeviceState, host_time_step,
-                           prev_time_step, prev_action):
+                           prev_time_step, prev_action, insert=True):
+    # insert=False on the very first tick: there is no real previous
+    # transition yet, and a from_transition(reset, zero_action, reset)
+    # frame would plant a fabricated FIRST->FIRST self-transition in the
+    # valid sampling window.
+    if not insert:
+      key, k_act = jax.random.split(dev.key)
+      params = self.agent.collect_policy_params(dev.agent_state)
+      action_step = self.agent.collect_policy.action(
+          params, host_time_step, (), k_act)
+      return dev.replace(key=key), action_step.action
     dev, action_step = self._insert_and_act(
         dev, host_time_step, prev_time_step, prev_action)
     return dev, action_step.action
@@ -124,14 +135,10 @@ class HostDeviceTrainLoop:
     prev_time_step = time_step
     for i in range(num_ticks):
       dev, action = self._compiled_collect(
-          dev, time_step, prev_time_step, prev_action)
+          dev, time_step, prev_time_step, prev_action, insert=i > 0)
       if random:
-        action = array_spec.map_spec_nest(
-            lambda s: rng.uniform(
-                np.maximum(np.asarray(s.minimum, np.float64), -1e6),
-                np.minimum(np.asarray(s.maximum, np.float64), 1e6),
-                size=(B,) + s.shape).astype(s.dtype),
-            self.agent.action_spec)
+        action = array_spec.np_sample_spec_nest(
+            self.agent.action_spec, rng, outer_dims=(B,))
       else:
         action = jax.tree_util.tree_map(np.asarray, action)
       next_time_step = self.env.step(action)

@@ -66,6 +66,11 @@ class Learner:
     self._jitted = jax.jit(self._train_fn, static_argnums=1)
     self.state = initial_state
     self.triggers = list(triggers)
+    # One fused loop iteration may run several gradient steps (e.g. a
+    # train_steps_per_tick scan); global_step advances by
+    # iterations * steps_per_run_call so checkpoint/summary triggers and
+    # resumed step numbers track actual gradient steps.
+    self.steps_per_run_call = int(steps_per_run_call)
     self.summary_writer = summary_writer
     self.summary_interval = summary_interval
     self.extra_summary_fn = extra_summary_fn
@@ -95,7 +100,7 @@ class Learner:
   def run(self, iterations: int = 1):
     """Run `iterations` fused train iterations; returns last loss."""
     self.state, out = self._jitted(self.state, iterations)
-    self.global_step += iterations
+    self.global_step += iterations * self.steps_per_run_call
     if self._with_info:
       self._last_info = jax.tree_util.tree_map(lambda x: x[-1], out)
       losses = out.loss

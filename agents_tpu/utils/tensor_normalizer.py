@@ -50,11 +50,19 @@ class StreamingTensorNormalizer:
       axes = tuple(range(x.ndim - inner_rank))
       n = np.prod([x.shape[a] for a in axes]) if axes else 1
       x = x.astype(jnp.float32)
-      new_count = count + n
-      new_mean_sum = mean_sum + jnp.sum(x, axis=axes)
-      # Reference accumulates sum((x - running_mean)^2) with the OLD mean.
+      # Chan's exact parallel-variance combine (reference
+      # parallel_variance_calculation, tensor_normalizer.py:397):
+      # accumulating sum((x - old_running_mean)^2) instead would measure
+      # the FIRST batch's deviations from zero (the empty-state mean),
+      # inflating the early std estimate by ~|mean|/std x.
+      batch_mean = jnp.mean(x, axis=axes)
+      batch_m2 = jnp.sum(jnp.square(x - batch_mean), axis=axes)
       old_mean = mean_sum / jnp.maximum(count, 1e-8)
-      new_var_sum = var_sum + jnp.sum(jnp.square(x - old_mean), axis=axes)
+      new_count = count + n
+      delta = batch_mean - old_mean
+      new_var_sum = (var_sum + batch_m2
+                     + jnp.square(delta) * count * n / new_count)
+      new_mean_sum = mean_sum + jnp.sum(x, axis=axes)
       return new_count, new_mean_sum, new_var_sum
 
     flat_c = jax.tree_util.tree_leaves(state.count)
@@ -117,7 +125,11 @@ class EMATensorNormalizer:
       axes = tuple(range(x.ndim - inner_rank))
       x = x.astype(jnp.float32)
       batch_mean = jnp.mean(x, axis=axes)
-      batch_var = jnp.mean(jnp.square(x - batch_mean), axis=axes)
+      # Variance around the MOVING-AVERAGE mean (reference
+      # tensor_normalizer.py:258-263 "so that this works even with batch
+      # size 1"): around the batch mean, a batch of 1 gives var 0 every
+      # update and the var EMA decays to ~0, exploding normalize().
+      batch_var = jnp.mean(jnp.square(x - mean), axis=axes)
       new_mean = mean + self.rate * (batch_mean - mean)
       new_var = var + self.rate * (batch_var - var)
       return new_mean, new_var

@@ -47,3 +47,19 @@ def test_metric_equality():
   for k in j_results:
     np.testing.assert_allclose(j_results[k], p_results[k], rtol=1e-6,
                                err_msg=k)
+
+
+def test_deque_push_batch_overflow_keeps_most_recent():
+  """One push_batch with more masked-in rows than capacity must keep the
+  LAST `capacity` rows deterministically (round-4 review: duplicate
+  scatter indices let XLA keep an arbitrary subset)."""
+  import jax.numpy as jnp
+
+  from agents_tpu.metrics.jax_metrics import DequeState
+
+  dq = DequeState(data=jnp.zeros(4), count=jnp.zeros((), jnp.int32))
+  values = jnp.arange(10.0)
+  dq = dq.push_batch(jnp.ones(10, bool), values)
+  kept = sorted(np.asarray(dq.data).tolist())
+  assert kept == [6.0, 7.0, 8.0, 9.0], kept
+  assert int(dq.count) == 10

@@ -172,3 +172,58 @@ def test_index_with_actions_multi_dim():
   with pytest.raises(ValueError):
     common_lib.index_with_actions(q[..., 0], actions,
                                   multi_dim_actions=True)
+
+
+def test_streaming_normalizer_exact_parallel_variance():
+  """Streaming stats must match exact whole-dataset mean/std (Chan's
+  parallel combine, reference parallel_variance_calculation) — the old
+  around-the-stale-mean accumulation measured the FIRST batch's
+  deviations from zero, inflating early std by ~|mean|/std x."""
+  from agents_tpu.utils.tensor_normalizer import StreamingTensorNormalizer
+
+  spec = specs.ArraySpec((), np.float32)
+  norm = StreamingTensorNormalizer(spec)
+  state = norm.init()
+  rng = np.random.RandomState(0)
+  data = (10.0 + rng.randn(6, 32)).astype(np.float32)  # mean 10, std 1
+  for batch in data:
+    state = norm.update(state, jnp.asarray(batch))
+  count = float(np.asarray(jax.tree_util.tree_leaves(state.count)[0]))
+  mean = float(np.asarray(
+      jax.tree_util.tree_leaves(state.mean_sum)[0])) / count
+  var = float(np.asarray(
+      jax.tree_util.tree_leaves(state.var_sum)[0])) / count
+  np.testing.assert_allclose(mean, data.mean(), rtol=1e-5)
+  np.testing.assert_allclose(var, data.var(), rtol=1e-4)
+
+
+def test_ema_normalizer_survives_batch_size_one():
+  """EMA variance is computed around the MOVING mean (reference
+  tensor_normalizer.py:258-263): around the batch mean, a batch of one
+  yields var=0 every update and the var EMA collapses to ~0."""
+  from agents_tpu.utils.tensor_normalizer import EMATensorNormalizer
+
+  spec = specs.ArraySpec((), np.float32)
+  norm = EMATensorNormalizer(spec, norm_update_rate=0.05)
+  state = norm.init()
+  rng = np.random.RandomState(1)
+  for _ in range(400):  # stream of single samples ~ N(3, 2^2)
+    state = norm.update(state, jnp.asarray(
+        np.float32(3.0 + 2.0 * rng.randn()))[None])
+  var = float(np.asarray(jax.tree_util.tree_leaves(state.var)[0]))
+  assert var > 1.0, var  # collapsed-to-zero variance fails loudly
+
+
+def test_np_sample_spec_nest_covers_discrete_range():
+  """Warmup random actions must reach the max discrete action (review:
+  uniform-float + astype truncation never sampled it; a 2-action spec
+  warmed up on all-zeros)."""
+  from agents_tpu.specs import array_spec
+
+  rng = np.random.RandomState(0)
+  two = specs.BoundedArraySpec((), np.int32, 0, 1)
+  acts = array_spec.np_sample_spec_nest(two, rng, outer_dims=(256,))
+  assert set(np.unique(acts)) == {0, 1}
+  cont = specs.BoundedArraySpec((2,), np.float32, -1.0, 1.0)
+  xs = array_spec.np_sample_spec_nest(cont, rng, outer_dims=(64,))
+  assert xs.shape == (64, 2) and xs.min() >= -1.0 and xs.max() <= 1.0

@@ -263,3 +263,47 @@ def test_py_uniform_interleaved_writer_stride():
                    "t": np.zeros(3, np.int32)})
   with pytest.raises(ValueError):
     buf.add({"env": np.asarray(0, np.int32), "t": np.asarray(0, np.int32)})
+
+
+def test_episodic_fresh_slot_skips_open_slots():
+  """After the slot ring wraps, a completing row's fresh slot must skip
+  slots still open for other rows AND just-committed slots (round-4
+  review: a plain ring cursor interleaved two envs' frames into one
+  slot)."""
+  import jax
+
+  # B=2, 8 slots; row 1 keeps one episode open for many of row 0's
+  # completions so the cursor wraps past row 1's open slot.
+  replay = EpisodicReplay(SPEC, batch_size=2, num_slots=8,
+                          max_episode_len=4)
+  state = replay.init()
+  add = jax.jit(replay.add_batch)
+
+  def frame(t, done_row0):
+    # row 0 completes every other frame; row 1 never completes; row 1's
+    # observations are offset by +100 to detect contamination.
+    return tj.Trajectory(
+        step_type=jnp.zeros(2, jnp.int32),
+        observation=jnp.stack([jnp.full((2,), t),
+                               jnp.full((2,), 100.0 + t)]),
+        action=jnp.zeros(2, jnp.int32), policy_info=(),
+        next_step_type=jnp.asarray([2 if done_row0 else 1, 1], jnp.int32),
+        reward=jnp.zeros(2), discount=jnp.ones(2))
+
+  for t in range(20):  # 10 completions for row 0 -> ring wraps (8 slots)
+    state = add(state, frame(float(t), t % 2 == 1))
+  # row 1's open slot must never have been reassigned to row 0
+  open0, open1 = np.asarray(state.open_slot)
+  assert open0 != open1
+  # row 1's open episode content must be uncontaminated: its frames are
+  # all >= 100 (written as 100+t).
+  n1 = int(np.asarray(state.open_len)[1])
+  row1_frames = np.asarray(state.storage.observation)[open1][:n1]
+  assert n1 > 0 and np.all(row1_frames >= 100.0), row1_frames
+
+
+def test_episodic_rejects_too_few_slots():
+  import pytest
+  spec = {"x": specs.ArraySpec((), np.float32)}
+  with pytest.raises(ValueError):
+    EpisodicReplay(spec, batch_size=4, num_slots=8, max_episode_len=4)
