@@ -27,6 +27,15 @@ class PyMetric:
   def reset(self):
     raise NotImplementedError
 
+  # Checkpointable metric state (the analogue of the reference's
+  # NumpyState-backed py_metrics, utils/numpy_storage.py: metric state
+  # survives a preemption). JSON-serializable by contract.
+  def get_state(self):
+    return {}
+
+  def set_state(self, state):
+    del state
+
 
 class NumpyDeque:
   """reference py_metrics.NumpyDeque(:34)."""
@@ -93,6 +102,18 @@ class StreamingMetric(PyMetric):
   def result(self):
     return float(self._buffer.mean())
 
+  def get_state(self):
+    # The per-row accumulator is deliberately NOT saved: on resume the
+    # host envs restart from reset (reference semantics — a preempted
+    # actor loses its in-flight episodes, train/learner.py:146-152 only
+    # protects training state), so a restored accumulator would credit
+    # the old half-episode to the new one.
+    return {"buffer": [float(v) for v in self._buffer._deque]}
+
+  def set_state(self, state):
+    self.reset()
+    self._buffer.extend(state.get("buffer", []))
+
 
 class AverageReturnMetric(StreamingMetric):
 
@@ -128,6 +149,12 @@ class EnvironmentSteps(PyMetric):
   def result(self):
     return self.count
 
+  def get_state(self):
+    return {"count": self.count}
+
+  def set_state(self, state):
+    self.count = int(state.get("count", 0))
+
 
 class NumberOfEpisodes(PyMetric):
 
@@ -144,3 +171,9 @@ class NumberOfEpisodes(PyMetric):
 
   def result(self):
     return self.count
+
+  def get_state(self):
+    return {"count": self.count}
+
+  def set_state(self, state):
+    self.count = int(state.get("count", 0))

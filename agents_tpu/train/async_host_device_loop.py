@@ -20,6 +20,7 @@ fixed gradient-steps-per-env-step budget (the reference SAC config is
 """
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Any, Optional, Tuple
@@ -56,8 +57,16 @@ class AsyncHostDeviceTrainLoop:
     self._agent_state = None
     self._env_steps = 0
     self._train_steps = 0
+    self._session_start_steps = 0
     self._last_loss = float("nan")
     self._stop = threading.Event()
+    # Checkpoint coordination: the collector thread pauses the trainer
+    # before snapshotting (agent_state, train_steps, trainer_key) so the
+    # saved triple is mutually consistent instead of racing a concurrent
+    # trainer publish.
+    self._pause = threading.Event()
+    self._pause_ack = threading.Event()
+    self._trainer_key = None
     self._trainer_thread: Optional[threading.Thread] = None
 
   # -- device programs -------------------------------------------------------
@@ -87,10 +96,14 @@ class AsyncHostDeviceTrainLoop:
     return agent_state, losses[-1]
 
   # -- trainer thread ----------------------------------------------------------
-  def _trainer_loop(self, seed):
-    key = jax.random.key(seed)
+  def _trainer_loop(self):
     calls = 0
     while not self._stop.is_set():
+      if self._pause.is_set():
+        self._pause_ack.set()
+        time.sleep(0.005)
+        continue
+      self._pause_ack.clear()
       if self._env_steps < self.min_replay_frames:
         time.sleep(0.01)
         continue
@@ -98,7 +111,7 @@ class AsyncHostDeviceTrainLoop:
           self.utd_ratio * self._env_steps:
         time.sleep(0.001)
         continue
-      key, sub = jax.random.split(key)
+      self._trainer_key, sub = jax.random.split(self._trainer_key)
       agent_state, loss = self._train_prog(
           self._agent_state, self._replay_state, sub)
       self._agent_state = agent_state
@@ -115,10 +128,45 @@ class AsyncHostDeviceTrainLoop:
     if calls:
       self._last_loss = float(np.asarray(loss))
 
+  # -- checkpointing ---------------------------------------------------------
+  def _checkpoint_state(self, tick: int, collect_key):
+    return {
+        "agent_state": self._agent_state,
+        "replay_state": self._replay_state,
+        "collect_key": jax.random.key_data(collect_key),
+        "trainer_key": jax.random.key_data(self._trainer_key),
+        "counters": {"tick": tick, "train_steps": self._train_steps},
+    }
+
+  def _save_checkpoint(self, checkpointer, tick: int, collect_key):
+    """Pause the trainer, snapshot full training state, save, resume.
+
+    The analogue of the reference Learner's periodic checkpoint trigger
+    (tf_agents/train/learner.py:256-263): agent + optimizer + replay +
+    counters + RNG streams, so a preempted run loses nothing but the
+    in-flight host episodes (which the reference loses too — its actors
+    restart from env reset, learner.py:146-152)."""
+    self._pause.set()
+    if self._trainer_thread is not None and self._trainer_thread.is_alive():
+      self._pause_ack.wait(timeout=120)  # let an in-flight call drain
+    try:
+      state = self._checkpoint_state(tick, collect_key)
+      checkpointer.save(tick, state)
+      checkpointer.wait()
+      import json as _json
+      aux = {"tick": tick,
+             "metrics": [m.get_state() for m in self.py_metrics]}
+      with open(f"{checkpointer.directory}/aux_{tick}.json", "w") as f:
+        f.write(_json.dumps(aux))
+    finally:
+      self._pause.clear()
+
   # -- main -------------------------------------------------------------------
   def run(self, total_env_batch_steps: int, seed: int = 0,
           initial_random_steps: int = 100,
-          progress_fn=None, progress_every: int = 1000):
+          progress_fn=None, progress_every: int = 1000,
+          checkpointer=None, checkpoint_interval_ticks: int = 0,
+          resume: bool = False):
     B = self.env.batch_size
     rng = np.random.RandomState(seed)
     # Each run() is a fresh training session: the previous trainer must
@@ -141,10 +189,34 @@ class AsyncHostDeviceTrainLoop:
     self._env_steps = 0
     self._train_steps = 0
     self._last_loss = float("nan")
+    self._pause.clear()
+    self._pause_ack.clear()
     for m in self.py_metrics:
       if hasattr(m, "reset"):
         m.reset()
     key = jax.random.key(seed + 1)
+    self._trainer_key = jax.random.key(seed + 2)
+
+    start_tick = 0
+    if checkpointer is not None and resume and \
+        checkpointer.latest_step() is not None:
+      st = checkpointer.restore(self._checkpoint_state(0, key))
+      self._agent_state = st["agent_state"]
+      self._replay_state = st["replay_state"]
+      key = jax.random.wrap_key_data(st["collect_key"])
+      self._trainer_key = jax.random.wrap_key_data(st["trainer_key"])
+      start_tick = int(st["counters"]["tick"])
+      self._env_steps = start_tick * B
+      self._train_steps = int(st["counters"]["train_steps"])
+      aux_path = f"{checkpointer.directory}/aux_{start_tick}.json"
+      if os.path.exists(aux_path):
+        import json as _json
+        with open(aux_path) as f:
+          aux = _json.loads(f.read())
+        for m, ms in zip(self.py_metrics, aux.get("metrics", [])):
+          if hasattr(m, "set_state"):
+            m.set_state(ms)
+    self._session_start_steps = self._env_steps
 
     time_step = self.env.reset()
     prev_ts = time_step
@@ -156,17 +228,21 @@ class AsyncHostDeviceTrainLoop:
           self.agent.action_spec, rng, outer_dims=(B,))
 
     trainer = threading.Thread(
-        target=self._trainer_loop, args=(seed + 2,), daemon=True)
+        target=self._trainer_loop, daemon=True)
     self._trainer_thread = trainer
     trainer.start()
     t0 = time.time()
     try:
-      for tick in range(total_env_batch_steps):
+      for tick in range(start_tick, total_env_batch_steps):
         key, sub = jax.random.split(key)
         params = self.agent.collect_policy_params(self._agent_state)
+        # `insert` skips the first tick of THIS session, not just tick 0:
+        # after a resume the previous transition is a fresh env reset with
+        # a zero action, exactly the fabricated frame the tick-0 skip
+        # exists to keep out of the sampling window.
         self._replay_state, action = self._collect_prog(
             self._replay_state, params, time_step, prev_ts, prev_action,
-            sub, insert=tick > 0)
+            sub, insert=tick > start_tick)
         if tick * B < initial_random_steps * B and \
             tick < max(initial_random_steps, 1):
           action_np = random_action()
@@ -183,9 +259,19 @@ class AsyncHostDeviceTrainLoop:
         self._env_steps = (tick + 1) * B
         if progress_fn and (tick + 1) % progress_every == 0:
           progress_fn(self)
+        if checkpointer is not None and checkpoint_interval_ticks and \
+            (tick + 1) % checkpoint_interval_ticks == 0 and \
+            (tick + 1) < total_env_batch_steps:
+          self._save_checkpoint(checkpointer, tick + 1, key)
     finally:
       self._stop.set()
       trainer.join(timeout=10)
+    if checkpointer is not None and checkpoint_interval_ticks and \
+        total_env_batch_steps > start_tick:
+      # Final-state checkpoint after the trainer drains: a later run with
+      # a higher step target resumes from here instead of the last
+      # interval (and a completed run restores to its exact end state).
+      self._save_checkpoint(checkpointer, total_env_batch_steps, key)
     # If the trainer is still draining a stalled device call, the
     # last_loss/train_steps below may lag the dispatched work; the flag
     # lets callers distinguish that from a clean drain rather than

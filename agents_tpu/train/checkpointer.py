@@ -27,6 +27,10 @@ class Checkpointer:
   def manager(self):
     return self._mngr
 
+  @property
+  def directory(self) -> str:
+    return self._dir
+
   def save(self, step: int, state: Any, force: bool = False) -> bool:
     if int(step) in (self._mngr.all_steps() or []):
       return False

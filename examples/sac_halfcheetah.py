@@ -42,6 +42,15 @@ class Config:
   num_eval_episodes: int = 30
   num_eval_envs: int = 10
   eval_every_ticks: int = 8000
+  # Periodic full-state checkpoint (agent + optimizer + replay + RNG +
+  # counters + metric buffers) via orbax, the analogue of the reference
+  # Learner's checkpoint trigger (tf_agents/train/learner.py:256-263) —
+  # without it any multi-hour run is all-or-nothing (learner.py:146-152).
+  # `resume=True` restores the latest checkpoint under root_dir if one
+  # exists; host envs restart from reset (reference actor semantics).
+  checkpoint_interval_ticks: int = 8000
+  checkpoint_max_to_keep: int = 2
+  resume: bool = True
   seed: int = 0
 
 
@@ -104,27 +113,37 @@ def train_eval(cfg: Config):
 
   writer = JsonlSummaryWriter(os.path.join(cfg.root_dir, "train.jsonl"))
   t0 = time.time()
-  ticks_seen = [0]
 
   def progress(l):
     ret = l.py_metrics[0].result()
-    sps = l._env_steps / (time.time() - t0)
+    sps = (l._env_steps - l._session_start_steps) / (time.time() - t0)
     line = (f"env_steps={l._env_steps} train_steps={l._train_steps} "
             f"AverageReturn={ret:.0f} ({sps:.0f} env-steps/s)")
     writer.scalar("AverageReturn", ret, l._env_steps)
     writer.scalar("train_steps", l._train_steps, l._env_steps)
-    ticks_seen[0] += cfg.progress_every_ticks
-    if cfg.eval_every_ticks and ticks_seen[0] % cfg.eval_every_ticks == 0:
+    # Eval cadence keyed to the absolute tick count (resume-safe, unlike
+    # a per-session counter which would shift every eval after a resume).
+    ticks = l._env_steps // cfg.env_batch_size
+    if cfg.eval_every_ticks and ticks % cfg.eval_every_ticks == 0:
       eval_ret = run_eval(l._agent_state)
       writer.scalar("EvalAverageReturn", eval_ret, l._env_steps)
       line += f" EvalAverageReturn={eval_ret:.0f}"
     print(line, flush=True)
 
+  ckpt = None
+  if cfg.checkpoint_interval_ticks:
+    from agents_tpu.train.checkpointer import Checkpointer
+    ckpt = Checkpointer(os.path.join(cfg.root_dir, "checkpoints"),
+                        max_to_keep=cfg.checkpoint_max_to_keep)
+
   out = loop.run(
       total_env_batch_steps=cfg.total_env_steps // cfg.env_batch_size,
       seed=cfg.seed,
       initial_random_steps=cfg.initial_collect_ticks,
-      progress_fn=progress, progress_every=cfg.progress_every_ticks)
+      progress_fn=progress, progress_every=cfg.progress_every_ticks,
+      checkpointer=ckpt,
+      checkpoint_interval_ticks=cfg.checkpoint_interval_ticks,
+      resume=cfg.resume)
 
   final_eval = run_eval(out["agent_state"])
   writer.scalar("EvalAverageReturn", final_eval, out["env_steps"])
