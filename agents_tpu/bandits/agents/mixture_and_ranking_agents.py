@@ -48,13 +48,20 @@ class _MixturePolicy(Policy):
 
   def __init__(self, time_step_spec, action_spec, sub_policies):
     from agents_tpu.specs import array_spec as _aspec
-    # The chosen component rides in policy_info so Exp3 credit can go to
-    # the sub-agent that actually produced the action (reference
-    # exp3_mixture_agent.py MixtureInfo).
+    # The chosen component AND its behavior probability ride in
+    # policy_info so Exp3 credit can go to the sub-agent that actually
+    # produced the action, importance-weighted by the probability AT
+    # COLLECTION TIME (reference exp3_mixture_agent.py MixtureInfo).
+    # Dividing by the softmax of the CURRENT weights instead would bias
+    # the r/p estimator whenever experience is replayed or lagged.
     super().__init__(
         time_step_spec, action_spec, clip=False,
-        info_spec={"mixture_choice": _aspec.BoundedArraySpec(
-            (), np.int32, 0, len(sub_policies) - 1, "mixture_choice")})
+        info_spec={
+            "mixture_choice": _aspec.BoundedArraySpec(
+                (), np.int32, 0, len(sub_policies) - 1, "mixture_choice"),
+            "mixture_prob": _aspec.ArraySpec((), np.float32,
+                                             "mixture_prob"),
+        })
     self.sub_policies = tuple(sub_policies)
 
   def _action(self, params, time_step, state, key):
@@ -71,8 +78,11 @@ class _MixturePolicy(Policy):
     ]
     stacked = jnp.stack(actions, axis=0)  # [N, B]
     action = jnp.take_along_axis(stacked, choice[None, :], axis=0)[0]
-    return ps.PolicyStep(action=action, state=state,
-                         info={"mixture_choice": choice.astype(jnp.int32)})
+    probs = jax.nn.softmax(agent_state.mixture_log_weights)
+    return ps.PolicyStep(
+        action=action, state=state,
+        info={"mixture_choice": choice.astype(jnp.int32),
+              "mixture_prob": probs[choice].astype(jnp.float32)})
 
   def _distribution(self, params, time_step, state):
     raise NotImplementedError
@@ -120,15 +130,17 @@ class MixtureAgent(Agent):
     if self.learning_rate > 0:
       exp = _squeeze_bandit_batch(experience)
       # Exp3: importance-weighted credit ONLY to the component that
-      # produced each action, r/p_c at the recorded choice (reference
-      # exp3_mixture_agent.py). Crediting every component with mean_r/p_i
-      # would boost low-probability components fastest regardless of
-      # merit, driving the mixture toward uniform.
-      probs = jax.nn.softmax(logw)
+      # produced each action, r/p_c with p_c the behavior probability
+      # RECORDED at collection time (reference exp3_mixture_agent.py).
+      # Crediting every component with mean_r/p_i would boost
+      # low-probability components fastest regardless of merit; using
+      # softmax(current logw) instead of the stored p_c would bias the
+      # estimator on replayed/lagged experience (round-4 advisor).
       choice = exp.policy_info["mixture_choice"].astype(jnp.int32)
-      onehot = jax.nn.one_hot(choice, len(self.agents))     # [B, N]
-      est = onehot * (exp.reward[:, None]
-                      / jnp.maximum(probs[None, :], 1e-8))
+      behavior_prob = exp.policy_info["mixture_prob"]        # [B]
+      onehot = jax.nn.one_hot(choice, len(self.agents))      # [B, N]
+      est = onehot * (exp.reward
+                      / jnp.maximum(behavior_prob, 1e-8))[:, None]
       logw = logw + self.learning_rate * jnp.mean(est, axis=0)
     new_state = MixtureAgentState(
         sub_states=tuple(new_subs), mixture_log_weights=logw,

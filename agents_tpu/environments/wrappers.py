@@ -20,8 +20,15 @@ from agents_tpu.trajectories import time_step as ts
 class PyEnvironmentBaseWrapper(PyEnvironment):
   """Forwards everything (reference :52)."""
 
-  def __init__(self, env: PyEnvironment):
-    super().__init__()
+  def __init__(self, env: PyEnvironment,
+               handle_auto_reset: Optional[bool] = None):
+    # Inherit the wrapped env's auto-reset opt-out by default (the
+    # reference plumbs handle_auto_reset through wrapper constructors):
+    # without this, TimeLimit(GymWrapper(env, auto_reset=False)) would
+    # silently re-enable auto-reset at the wrapper level.
+    if handle_auto_reset is None:
+      handle_auto_reset = getattr(env, "_handle_auto_reset", True)
+    super().__init__(handle_auto_reset=handle_auto_reset)
     self._env = env
 
   @property
@@ -71,10 +78,12 @@ class TimeLimit(PyEnvironmentBaseWrapper):
     super().__init__(env)
     self._duration = duration
     self._num_steps = None
+    self._pending_reset = None
 
   def _reset(self):
     time_step = self._env.reset()
     self._num_steps = np.zeros(np.shape(time_step.step_type), np.int64)
+    self._pending_reset = np.zeros(np.shape(time_step.step_type), bool)
     return time_step
 
   def _step(self, action):
@@ -82,6 +91,26 @@ class TimeLimit(PyEnvironmentBaseWrapper):
       return self._reset()
     time_step = self._env.step(action)
     st = np.asarray(time_step.step_type)
+    # Rows stamped LAST by truncation on the previous frame: the inner
+    # env saw MID there and kept its episode going, so from the agent's
+    # view THIS frame starts a new logical episode — relabel it FIRST
+    # with restart reward/discount (auto-reset semantics for one row,
+    # which a generic batched inner env cannot perform itself). Without
+    # this the stale >=duration counter re-stamps the row LAST on every
+    # subsequent frame (LAST,LAST,... protocol violation). Rows whose
+    # inner env DID emit FIRST (a per-row auto-resetting inner) need no
+    # relabel — the inner reset already closed the loop.
+    if np.any(self._pending_reset):
+      relabel = self._pending_reset & (st != ts.StepType.FIRST)
+      if np.any(relabel):
+        reward = np.asarray(time_step.reward)
+        discount = np.asarray(time_step.discount)
+        st = np.where(relabel, ts.StepType.FIRST, st).astype(st.dtype)
+        time_step = time_step.replace(
+            step_type=st,
+            reward=np.where(relabel, np.zeros_like(reward), reward),
+            discount=np.where(relabel, np.ones_like(discount), discount))
+      self._pending_reset = np.zeros_like(self._pending_reset)
     # Per-row accounting: rows of a batched env hit the limit
     # independently. A freshly auto-reset FIRST row restarts its count;
     # stamping ALL rows LAST whenever the global count expired would
@@ -93,6 +122,7 @@ class TimeLimit(PyEnvironmentBaseWrapper):
     if np.any(over):
       time_step = time_step.replace(
           step_type=np.where(over, ts.StepType.LAST, st).astype(st.dtype))
+      self._pending_reset = self._pending_reset | over
     return time_step
 
   @property

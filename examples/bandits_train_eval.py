@@ -178,6 +178,20 @@ def _exp3(cfg):
   return env, agent
 
 
+def _exp3_mixture(cfg):
+  from agents_tpu.bandits.agents import (BernoulliThompsonSamplingAgent,
+                                         Exp3Agent, Exp3MixtureAgent)
+  from agents_tpu.bandits.environments import BernoulliBandit
+  from agents_tpu.trajectories import time_step as ts
+  env = BernoulliBandit([0.2, 0.8, 0.5])
+  tss = ts.time_step_spec(env.observation_spec())
+  subs = [Exp3Agent(tss, env.action_spec(), learning_rate=0.05),
+          BernoulliThompsonSamplingAgent(tss, env.action_spec())]
+  agent = Exp3MixtureAgent(tss, env.action_spec(), subs,
+                           learning_rate=0.05)
+  return env, agent
+
+
 def _wheel(cfg):
   import optax
   from agents_tpu.bandits.agents import NeuralEpsilonGreedyAgent
@@ -307,6 +321,7 @@ SCENARIOS = {
     "dropout_ts": _dropout_ts,
     "bernoulli_ts": _bernoulli_ts,
     "exp3": _exp3,
+    "exp3_mixture": _exp3_mixture,
     "wheel": _wheel,
     "drifting": _drifting,
     "piecewise": _piecewise,

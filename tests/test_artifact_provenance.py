@@ -216,9 +216,9 @@ def test_cql_offline_beats_behavior_on_mixed_data():
 
 
 def test_round4_artifact_manifest():
-  """Round-end manifest: every artifact this round PROMISES must exist.
-  A missing one fails here by name — promised-but-absent can never read
-  as green."""
+  """Round-4 manifest: every artifact that round promised must exist.
+  Hard assert — a missing promise turns the suite red (round-4 verdict:
+  an xfail at round end is a promise that quietly didn't happen)."""
   promised = [
       "sac_walker2d_1m_s0.jsonl",
       "sac_ant_1m_s0.jsonl",
@@ -229,8 +229,23 @@ def test_round4_artifact_manifest():
   ]
   missing = [f for f in promised
              if not os.path.exists(os.path.join(BASE, f))]
-  if missing:
-    pytest.xfail(f"round-4 promised artifacts still missing: {missing}")
+  assert not missing, f"round-4 promised artifacts missing: {missing}"
+
+
+def test_round5_artifact_manifest():
+  """Round-5 manifest (hard assert, same contract as round 4): the
+  checkpoint/resume round's promised runs. Individual per-artifact tests
+  above/below gate on _landed (xfail) during the round; THIS test is the
+  round-end tripwire that converts any still-missing promise into a red
+  suite instead of a quiet xfail."""
+  promised = [
+      "sac_humanoid_5m_s0.jsonl",      # resumable-chunk 5M flagship run
+      "sac_walker2d_1m_s1.jsonl",      # Walker2d seed set n=3
+      "sac_walker2d_1m_s2.jsonl",
+  ]
+  missing = [f for f in promised
+             if not os.path.exists(os.path.join(BASE, f))]
+  assert not missing, f"round-5 promised artifacts missing: {missing}"
 
 
 def test_sac_humanoid_partial_curve():
@@ -249,4 +264,22 @@ def test_sac_humanoid_partial_curve():
   assert evals, "no greedy-eval points in Humanoid partial artifact"
   late = [r for s, r in evals if s >= 1_500_000]
   assert late, f"run ended before 1.5M steps: last point {evals[-1]}"
-  assert max(late) >= 4_500.0, late
+  # Mean of the last 3 evals, NOT max: peak-picking would pass a run
+  # that spiked once and diverged (round-4 advisor re-flagged the same
+  # max() pattern round 3 caught on CQL).
+  assert float(np.mean(late[-3:])) >= 4_500.0, late
+
+
+def test_sac_humanoid_5m_full_run():
+  """Humanoid-v5 to the reference's hardest published SAC point: 7,455 @
+  5M (examples/sac/README.md:66). Run in resumable chunks via the async
+  loop's periodic orbax checkpointing (round-5 capability). Pass bar:
+  last-3-eval mean >= 0.85x the published 5M mean (the same band the
+  multi-seed tasks use, never a max())."""
+  _landed("sac_humanoid_5m_s0.jsonl")
+  evals = _evals(os.path.join(BASE, "sac_humanoid_5m_s0.jsonl"))
+  assert evals, "no greedy-eval points in Humanoid 5M artifact"
+  final_step = evals[-1][0]
+  assert final_step >= 4_900_000, f"run ended early at {final_step}"
+  late = [r for _, r in evals[-3:]]
+  assert float(np.mean(late)) >= 0.85 * 7_455.0, (final_step, late)

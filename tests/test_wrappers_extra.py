@@ -70,12 +70,19 @@ def test_time_limit_batched_per_row():
     types.append(np.asarray(step.step_type).copy())
   types = np.stack(types)  # [T, 2]
   # Row 1 is truncated at duration=5 and again 6 steps later (5 MIDs
-  # after its FIRST), never before.
+  # after its relabeled FIRST), never before.
   assert types[4, 1] == ts_mod.StepType.LAST, types[:, 1]
-  # No row ever goes FIRST -> LAST in consecutive frames (the corrupt
-  # length-1 episode the old global counter produced).
+  assert types[5, 1] == ts_mod.StepType.FIRST, types[:, 1]
+  assert np.all(types[6:10, 1] == ts_mod.StepType.MID), types[:, 1]
   for row in range(2):
     for t in range(1, len(types)):
+      # Every LAST is followed by a FIRST (auto-reset protocol); no row
+      # ever emits two consecutive LASTs (round-4 advisor: the truncated
+      # row used to be re-stamped LAST on every subsequent frame).
+      if types[t - 1, row] == ts_mod.StepType.LAST:
+        assert types[t, row] == ts_mod.StepType.FIRST, (row, types[:, row])
+      # No row ever goes FIRST -> LAST in consecutive frames (the corrupt
+      # length-1 episode the old global counter produced).
       if types[t - 1, row] == ts_mod.StepType.FIRST:
         assert types[t, row] != ts_mod.StepType.LAST, (row, types[:, row])
 
