@@ -10,6 +10,7 @@ move to the device per train step.
 from __future__ import annotations
 
 import hashlib
+import mmap
 import threading
 from typing import Any, Optional
 
@@ -18,6 +19,25 @@ import numpy as np
 import jax
 
 from agents_tpu.specs import array_spec
+
+
+def _alloc_storage(shape, dtype, keepalive: list):
+  """Allocate a storage leaf, hugepage-backed when large.
+
+  Random row gathers over a multi-GB ring are TLB-bound with 4 KB pages
+  (measured ~2x slowdown at >=10 GB); MADV_HUGEPAGE lets the kernel back
+  the arena with 2 MB pages. Falls back to plain np.zeros when mmap or
+  madvise is unavailable."""
+  nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+  if nbytes >= (1 << 25):  # 32 MB: below this, page pressure is moot
+    try:
+      mm = mmap.mmap(-1, nbytes)
+      mm.madvise(mmap.MADV_HUGEPAGE)
+      keepalive.append(mm)
+      return np.frombuffer(mm, dtype=dtype).reshape(shape)
+    except (OSError, ValueError, AttributeError):
+      pass
+  return np.zeros(shape, dtype)
 
 
 class PyUniformReplayBuffer:
@@ -43,9 +63,44 @@ class PyUniformReplayBuffer:
     self.capacity = capacity
     self.writer_batch_size = int(writer_batch_size)
     self._lock = threading.Lock()
+    self._mmaps: list = []
     self._storage = array_spec.map_spec_nest(
-        lambda s: np.zeros((capacity,) + s.shape, s.dtype), data_spec)
+        lambda s: _alloc_storage((capacity,) + s.shape, s.dtype,
+                                 self._mmaps), data_spec)
     self._count = 0
+    # Gather fast path: 2-D row views of each storage leaf (np.take on a
+    # [capacity, row_bytes] view runs ~2x faster than fancy indexing the
+    # N-D array) + a double-buffered output pool so steady-state sampling
+    # never allocates (round-4 bench: 12.3 ms/batch-256 of 84x84x4 frames
+    # at 1M capacity; views + take(out=) land ~3x lower on this host).
+    self._flat_views = [s.reshape(capacity, -1) if s.ndim > 1 else s
+                        for s in jax.tree_util.tree_leaves(self._storage)]
+    self._out_pool: dict = {}
+
+  def _gather_rows(self, flat_idx: np.ndarray):
+    """Gather rows `flat_idx` from every leaf into pooled buffers.
+
+    Returns leaf arrays shaped [len(flat_idx), *leaf_shape]. Buffers are
+    double-buffered per (leaf, size): a returned batch stays valid until
+    the SECOND following sample() call — enough for the
+    sample->device_put->train cadence (and one lookahead) without a copy.
+    """
+    n = len(flat_idx)
+    out_leaves = []
+    for li, (slot, view) in enumerate(
+        zip(jax.tree_util.tree_leaves(self._storage), self._flat_views)):
+      key = (li, n)
+      pool = self._out_pool.get(key)
+      if pool is None:
+        pool = [np.empty((n,) + view.shape[1:], view.dtype)
+                for _ in range(2)], [0]
+        self._out_pool[key] = pool
+      bufs, turn = pool
+      buf = bufs[turn[0]]
+      turn[0] ^= 1
+      np.take(view, flat_idx, axis=0, out=buf, mode="clip")
+      out_leaves.append(buf.reshape((n,) + slot.shape[1:]))
+    return out_leaves
 
   def __len__(self):
     return min(self._count, self.capacity)
@@ -114,10 +169,14 @@ class PyUniformReplayBuffer:
              rng: Optional[np.random.RandomState] = None):
     with self._lock:
       idx = self._sample_indices(batch_size, num_steps, rng)
-      out = jax.tree_util.tree_map(lambda s: s[idx], self._storage)
+      leaves = self._gather_rows(idx.reshape(-1))
+      n = num_steps or 1
       if num_steps is None:
-        out = jax.tree_util.tree_map(lambda x: x[:, 0], out)
-      return out
+        shaped = leaves
+      else:
+        shaped = [l.reshape((batch_size, n) + l.shape[1:]) for l in leaves]
+      return jax.tree_util.tree_unflatten(
+          jax.tree_util.tree_structure(self._storage), shaped)
 
   def gather_all(self):
     with self._lock:
@@ -152,9 +211,15 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
                  if hasattr(data_spec, "replace")
                  else {k: v for k, v in data_spec.items()
                        if k != "observation"})
+    self._mmaps: list = []
     self._storage = array_spec.map_spec_nest(
-        lambda s: np.zeros((capacity,) + s.shape, s.dtype), rest_spec)
+        lambda s: _alloc_storage((capacity,) + s.shape, s.dtype,
+                                 self._mmaps), rest_spec)
     self._count = 0
+    self._flat_views = [s.reshape(capacity, -1) if s.ndim > 1 else s
+                        for s in jax.tree_util.tree_leaves(self._storage)]
+    self._out_pool = {}
+    self._obs_out_pool: list = []
     # Refcounted dedup pool (the reference py_hashed_replay_buffer also
     # evicts when the last ring slot referencing a frame is overwritten
     # — without eviction a long run retains every frame ever seen, not
@@ -237,17 +302,32 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
              rng: Optional[np.random.RandomState] = None):
     with self._lock:
       idx = self._sample_indices(batch_size, num_steps, rng)
-      rest = jax.tree_util.tree_map(lambda s: s[idx], self._storage)
       flat = idx.reshape(-1)
-      obs = np.stack([self._pool_list[self._obs_idx[i]] for i in flat])
-      obs = obs.reshape(idx.shape + obs.shape[1:])
+      rest_leaves = self._gather_rows(flat)
+      n = num_steps or 1
+      # Pool-backed observation gather into a double-buffered output
+      # (same no-allocation contract as _gather_rows).
+      first = self._pool_list[self._obs_idx[flat[0]]]
+      if len(self._obs_out_pool) != 2 or \
+          self._obs_out_pool[0].shape != (len(flat),) + first.shape:
+        self._obs_out_pool = [
+            np.empty((len(flat),) + first.shape, first.dtype)
+            for _ in range(2)]
+        self._obs_turn = 0
+      obs = self._obs_out_pool[self._obs_turn]
+      self._obs_turn ^= 1
+      pool_list, obs_idx = self._pool_list, self._obs_idx
+      for j, i in enumerate(flat):
+        obs[j] = pool_list[obs_idx[i]]
+      if num_steps is not None:
+        rest_leaves = [l.reshape((batch_size, n) + l.shape[1:])
+                       for l in rest_leaves]
+        obs = obs.reshape((batch_size, n) + obs.shape[1:])
+      rest = jax.tree_util.tree_unflatten(
+          jax.tree_util.tree_structure(self._storage), rest_leaves)
       if hasattr(rest, "replace"):
-        out = rest.replace(observation=obs)
-      else:
-        out = dict(rest, observation=obs)
-      if num_steps is None:
-        out = jax.tree_util.tree_map(lambda x: x[:, 0], out)
-      return out
+        return rest.replace(observation=obs)
+      return dict(rest, observation=obs)
 
   def gather_all(self):
     with self._lock:
