@@ -100,6 +100,17 @@ class TimeLimit(PyEnvironmentBaseWrapper):
     # subsequent frame (LAST,LAST,... protocol violation). Rows whose
     # inner env DID emit FIRST (a per-row auto-resetting inner) need no
     # relabel — the inner reset already closed the loop.
+    #
+    # Known edge (round-5 review): if the inner episode GENUINELY
+    # terminates on this exact frame (LAST one step after the
+    # truncation), the relabel treats it like any continuing frame. In
+    # truncation semantics the agent's episode already ended last frame
+    # — a reference single env would have reset and never seen this
+    # terminal — so dropping its reward matches reset behavior; the
+    # cost is one phantom FIRST at a near-terminal state (and, with a
+    # per-row auto-resetting inner, a FIRST->FIRST pair) for the rare
+    # coincidence. Exact per-row semantics need an inner env with
+    # per-row reset control, which a generic batched env lacks.
     if np.any(self._pending_reset):
       relabel = self._pending_reset & (st != ts.StepType.FIRST)
       if np.any(relabel):

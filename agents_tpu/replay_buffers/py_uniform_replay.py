@@ -58,10 +58,16 @@ class PyUniformReplayBuffer:
     incoherent transitions (cross-env `next_observation`).
   """
 
-  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1):
+  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1,
+               reuse_sample_buffers: bool = False):
     self.data_spec = data_spec
     self.capacity = capacity
     self.writer_batch_size = int(writer_batch_size)
+    # reuse_sample_buffers=True returns batches backed by a
+    # double-buffered pool (zero steady-state allocation; a batch stays
+    # valid until the SECOND following sample() call). Default False:
+    # fresh arrays per call, safe for callers that retain batches.
+    self.reuse_sample_buffers = bool(reuse_sample_buffers)
     self._lock = threading.Lock()
     self._mmaps: list = []
     self._storage = array_spec.map_spec_nest(
@@ -78,27 +84,31 @@ class PyUniformReplayBuffer:
     self._out_pool: dict = {}
 
   def _gather_rows(self, flat_idx: np.ndarray):
-    """Gather rows `flat_idx` from every leaf into pooled buffers.
+    """Gather rows `flat_idx` from every leaf via the 2-D row views.
 
-    Returns leaf arrays shaped [len(flat_idx), *leaf_shape]. Buffers are
-    double-buffered per (leaf, size): a returned batch stays valid until
-    the SECOND following sample() call — enough for the
-    sample->device_put->train cadence (and one lookahead) without a copy.
+    Returns leaf arrays shaped [len(flat_idx), *leaf_shape]. With
+    `reuse_sample_buffers`, output comes from a double-buffered pool
+    (valid until the second following call); otherwise fresh arrays.
+    Indices are already reduced mod capacity — take() keeps the default
+    bounds check so an index bug raises instead of silently clamping.
     """
     n = len(flat_idx)
     out_leaves = []
     for li, (slot, view) in enumerate(
         zip(jax.tree_util.tree_leaves(self._storage), self._flat_views)):
-      key = (li, n)
-      pool = self._out_pool.get(key)
-      if pool is None:
-        pool = [np.empty((n,) + view.shape[1:], view.dtype)
-                for _ in range(2)], [0]
-        self._out_pool[key] = pool
-      bufs, turn = pool
-      buf = bufs[turn[0]]
-      turn[0] ^= 1
-      np.take(view, flat_idx, axis=0, out=buf, mode="clip")
+      if self.reuse_sample_buffers:
+        key = (li, n)
+        pool = self._out_pool.get(key)
+        if pool is None:
+          pool = [np.empty((n,) + view.shape[1:], view.dtype)
+                  for _ in range(2)], [0]
+          self._out_pool[key] = pool
+        bufs, turn = pool
+        buf = bufs[turn[0]]
+        turn[0] ^= 1
+      else:
+        buf = np.empty((n,) + view.shape[1:], view.dtype)
+      np.take(view, flat_idx, axis=0, out=buf)
       out_leaves.append(buf.reshape((n,) + slot.shape[1:]))
     return out_leaves
 
@@ -201,10 +211,12 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
   per slot and the pool keeps one copy per distinct frame; `sample`
   reconstructs observations from the pool."""
 
-  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1):
+  def __init__(self, data_spec, capacity: int, writer_batch_size: int = 1,
+               reuse_sample_buffers: bool = False):
     self.data_spec = data_spec
     self.capacity = capacity
     self.writer_batch_size = int(writer_batch_size)
+    self.reuse_sample_buffers = bool(reuse_sample_buffers)
     self._lock = threading.Lock()
     # Dense ring for everything EXCEPT the observation.
     rest_spec = (data_spec.replace(observation=())
@@ -305,17 +317,20 @@ class PyHashedReplayBuffer(PyUniformReplayBuffer):
       flat = idx.reshape(-1)
       rest_leaves = self._gather_rows(flat)
       n = num_steps or 1
-      # Pool-backed observation gather into a double-buffered output
-      # (same no-allocation contract as _gather_rows).
+      # Observation gather from the dedup pool (double-buffered output
+      # under reuse_sample_buffers, same contract as _gather_rows).
       first = self._pool_list[self._obs_idx[flat[0]]]
-      if len(self._obs_out_pool) != 2 or \
-          self._obs_out_pool[0].shape != (len(flat),) + first.shape:
-        self._obs_out_pool = [
-            np.empty((len(flat),) + first.shape, first.dtype)
-            for _ in range(2)]
-        self._obs_turn = 0
-      obs = self._obs_out_pool[self._obs_turn]
-      self._obs_turn ^= 1
+      if self.reuse_sample_buffers:
+        if len(self._obs_out_pool) != 2 or \
+            self._obs_out_pool[0].shape != (len(flat),) + first.shape:
+          self._obs_out_pool = [
+              np.empty((len(flat),) + first.shape, first.dtype)
+              for _ in range(2)]
+          self._obs_turn = 0
+        obs = self._obs_out_pool[self._obs_turn]
+        self._obs_turn ^= 1
+      else:
+        obs = np.empty((len(flat),) + first.shape, first.dtype)
       pool_list, obs_idx = self._pool_list, self._obs_idx
       for j, i in enumerate(flat):
         obs[j] = pool_list[obs_idx[i]]

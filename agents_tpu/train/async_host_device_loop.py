@@ -63,9 +63,13 @@ class AsyncHostDeviceTrainLoop:
     # Checkpoint coordination: the collector thread pauses the trainer
     # before snapshotting (agent_state, train_steps, trainer_key) so the
     # saved triple is mutually consistent instead of racing a concurrent
-    # trainer publish.
+    # trainer publish. Generation-stamped: the trainer acknowledges a
+    # SPECIFIC pause request (_ack_gen >= _pause_gen), so a stale ack
+    # from a previous checkpoint can never satisfy a new one while a
+    # device call is still in flight.
     self._pause = threading.Event()
-    self._pause_ack = threading.Event()
+    self._pause_gen = 0
+    self._ack_gen = -1
     self._trainer_key = None
     self._trainer_thread: Optional[threading.Thread] = None
 
@@ -100,10 +104,9 @@ class AsyncHostDeviceTrainLoop:
     calls = 0
     while not self._stop.is_set():
       if self._pause.is_set():
-        self._pause_ack.set()
+        self._ack_gen = self._pause_gen
         time.sleep(0.005)
         continue
-      self._pause_ack.clear()
       if self._env_steps < self.min_replay_frames:
         time.sleep(0.01)
         continue
@@ -129,6 +132,33 @@ class AsyncHostDeviceTrainLoop:
       self._last_loss = float(np.asarray(loss))
 
   # -- checkpointing ---------------------------------------------------------
+  def _metric_ckpt(self):
+    """Metric state as fixed-shape arrays (orbax templates need stable
+    shapes, so deque buffers are padded to their maxlen + a count)."""
+    out = []
+    for m in self.py_metrics:
+      st = m.get_state() if hasattr(m, "get_state") else {}
+      if "buffer" in st:
+        maxlen = m._buffer._deque.maxlen
+        buf = np.zeros((maxlen,), np.float64)
+        vals = st["buffer"]
+        buf[:len(vals)] = vals
+        out.append({"buffer": buf, "n": len(vals)})
+      else:
+        out.append({"count": int(st.get("count", 0))})
+    return tuple(out)
+
+  def _metric_restore(self, saved):
+    for m, st in zip(self.py_metrics, saved):
+      if not hasattr(m, "set_state"):
+        continue
+      if "buffer" in st:
+        n = int(st["n"])
+        m.set_state({"buffer": [float(v) for v in
+                                np.asarray(st["buffer"])[:n]]})
+      else:
+        m.set_state({"count": int(st["count"])})
+
   def _checkpoint_state(self, tick: int, collect_key):
     return {
         "agent_state": self._agent_state,
@@ -136,6 +166,7 @@ class AsyncHostDeviceTrainLoop:
         "collect_key": jax.random.key_data(collect_key),
         "trainer_key": jax.random.key_data(self._trainer_key),
         "counters": {"tick": tick, "train_steps": self._train_steps},
+        "metrics": self._metric_ckpt(),
     }
 
   def _save_checkpoint(self, checkpointer, tick: int, collect_key):
@@ -143,21 +174,25 @@ class AsyncHostDeviceTrainLoop:
 
     The analogue of the reference Learner's periodic checkpoint trigger
     (tf_agents/train/learner.py:256-263): agent + optimizer + replay +
-    counters + RNG streams, so a preempted run loses nothing but the
-    in-flight host episodes (which the reference loses too — its actors
-    restart from env reset, learner.py:146-152)."""
+    counters + RNG streams + metric buffers in ONE atomic orbax save, so
+    a preempted run loses nothing but the in-flight host episodes (which
+    the reference loses too — its actors restart from env reset,
+    learner.py:146-152)."""
+    self._pause_gen += 1
+    gen = self._pause_gen
     self._pause.set()
-    if self._trainer_thread is not None and self._trainer_thread.is_alive():
-      self._pause_ack.wait(timeout=120)  # let an in-flight call drain
+    deadline = time.time() + 120  # let an in-flight device call drain
+    while time.time() < deadline:
+      if self._ack_gen >= gen:
+        break
+      if self._trainer_thread is None or \
+          not self._trainer_thread.is_alive():
+        break
+      time.sleep(0.005)
     try:
       state = self._checkpoint_state(tick, collect_key)
       checkpointer.save(tick, state)
       checkpointer.wait()
-      import json as _json
-      aux = {"tick": tick,
-             "metrics": [m.get_state() for m in self.py_metrics]}
-      with open(f"{checkpointer.directory}/aux_{tick}.json", "w") as f:
-        f.write(_json.dumps(aux))
     finally:
       self._pause.clear()
 
@@ -190,7 +225,7 @@ class AsyncHostDeviceTrainLoop:
     self._train_steps = 0
     self._last_loss = float("nan")
     self._pause.clear()
-    self._pause_ack.clear()
+    self._ack_gen = self._pause_gen - 1
     for m in self.py_metrics:
       if hasattr(m, "reset"):
         m.reset()
@@ -200,7 +235,14 @@ class AsyncHostDeviceTrainLoop:
     start_tick = 0
     if checkpointer is not None and resume and \
         checkpointer.latest_step() is not None:
-      st = checkpointer.restore(self._checkpoint_state(0, key))
+      template = self._checkpoint_state(0, key)
+      try:
+        st = checkpointer.restore(template)
+      except Exception:
+        # Checkpoints written before metric state moved into the orbax
+        # tree lack the "metrics" entry; restore the rest.
+        st = checkpointer.restore(
+            {k: v for k, v in template.items() if k != "metrics"})
       self._agent_state = st["agent_state"]
       self._replay_state = st["replay_state"]
       key = jax.random.wrap_key_data(st["collect_key"])
@@ -208,14 +250,7 @@ class AsyncHostDeviceTrainLoop:
       start_tick = int(st["counters"]["tick"])
       self._env_steps = start_tick * B
       self._train_steps = int(st["counters"]["train_steps"])
-      aux_path = f"{checkpointer.directory}/aux_{start_tick}.json"
-      if os.path.exists(aux_path):
-        import json as _json
-        with open(aux_path) as f:
-          aux = _json.loads(f.read())
-        for m, ms in zip(self.py_metrics, aux.get("metrics", [])):
-          if hasattr(m, "set_state"):
-            m.set_state(ms)
+      self._metric_restore(st.get("metrics", ()))
     self._session_start_steps = self._env_steps
 
     time_step = self.env.reset()

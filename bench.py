@@ -287,7 +287,8 @@ def host_atari_replay_probe(capacity: int = 1_000_000,
   act_spec = specs_mod.BoundedArraySpec((), np.int32, 0, 3)
   spec = tj.trajectory_spec(ts_mod.time_step_spec(obs_spec), act_spec)
 
-  buf = PyUniformReplayBuffer(spec, capacity)
+  buf = PyUniformReplayBuffer(spec, capacity,
+                            reuse_sample_buffers=True)
   CHUNK = 1024
   rng = np.random.RandomState(0)
   block = jax.tree_util.tree_map(
@@ -318,7 +319,8 @@ def host_atari_replay_probe(capacity: int = 1_000_000,
                     for x in jax.tree_util.tree_leaves(batch))
 
   # hashed/dedup variant: per-frame content hashing bounds the add rate
-  hbuf = PyHashedReplayBuffer(spec, hashed_frames)
+  hbuf = PyHashedReplayBuffer(spec, hashed_frames,
+                            reuse_sample_buffers=True)
   t0 = time.time()
   for _ in range(hashed_frames // CHUNK):
     hbuf.add_batch(block)  # CHUNK distinct frames, repeated -> dedup

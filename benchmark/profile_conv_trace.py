@@ -195,14 +195,25 @@ def main():
     float(np.asarray(losses)[-1])
     trace_dir = f"/tmp/conv_trace_{label}"
     device_events = None
+    tracing = False
     try:
       jax.profiler.start_trace(trace_dir)
+      tracing = True
       _, losses = run_full(s2)
       float(np.asarray(losses)[-1])
       jax.profiler.stop_trace()
+      tracing = False
       device_events = _parse_xplane(trace_dir)
     except Exception as e:  # noqa: BLE001
       print(f"[{label}] device trace unavailable: {e!r}", flush=True)
+    finally:
+      if tracing:
+        # A failure mid-trace must not leave the profiler recording
+        # through the ablation timings below.
+        try:
+          jax.profiler.stop_trace()
+        except Exception:  # noqa: BLE001
+          pass
     any_trace = any_trace or bool(device_events)
 
     const_exp = jax.jit(
