@@ -23,7 +23,11 @@ def compute(metrics: Sequence, environment, policy,
     m.reset()
   driver = PyDriver(environment, policy, observers=list(metrics),
                     max_episodes=num_episodes)
-  driver.run(environment.reset())
+  # Stateful policies (e.g. recurrent ones behind JittedPyPolicy) need a
+  # real initial carry, not the default () — same as Actor.
+  policy_state = (policy.init_state(environment.batch_size)
+                  if hasattr(policy, "init_state") else ())
+  driver.run(environment.reset(), policy_state)
   return {m.name: m.result() for m in metrics}
 
 
@@ -121,31 +125,17 @@ class MetricsGroup:
       m.reset()
 
   def state_dict(self):
-    import numpy as np
-    out = {}
-    for i, m in enumerate(self.metrics):
-      st = {}
-      for k, v in vars(m).items():
-        if isinstance(v, np.ndarray):
-          st[k] = v.copy()
-        elif hasattr(v, "_deque"):  # NumpyDeque
-          st[k] = list(v._deque)
-        elif isinstance(v, (int, float, str, type(None))):
-          st[k] = v
-      out[f"{i}:{m.name}"] = st
-    return out
+    """JSON-serializable snapshot, delegating to each metric's
+    get_state/set_state contract (py_metrics.PyMetric) — which
+    deliberately excludes the per-row accumulator: on restore the host
+    envs restart from reset, so a revived accumulator would credit the
+    old half-episode to the new one."""
+    return {f"{i}:{m.name}": (m.get_state() if hasattr(m, "get_state")
+                              else {})
+            for i, m in enumerate(self.metrics)}
 
   def load_state_dict(self, state):
-    import numpy as np
     for i, m in enumerate(self.metrics):
-      st = state[f"{i}:{m.name}"]
-      for k, v in st.items():
-        cur = getattr(m, k, None)
-        if hasattr(cur, "_deque"):
-          cur.clear()
-          cur.extend(v)
-        elif isinstance(cur, np.ndarray) or isinstance(v, list) and (
-            isinstance(cur, np.ndarray)):
-          setattr(m, k, np.asarray(v))
-        else:
-          setattr(m, k, v)
+      st = state.get(f"{i}:{m.name}")
+      if st is not None and hasattr(m, "set_state"):
+        m.set_state(st)

@@ -259,8 +259,13 @@ class ChosenActionHistogram(Metric):
     return jnp.zeros((self.num_actions,), jnp.int32)
 
   def update(self, state, traj):
+    # Boundary frames carry no chosen action (post-episode filler; the
+    # episode driver's quota masking also rewrites dead rows as
+    # boundaries) — counting them would skew the histogram, so they are
+    # masked out like every other standard metric does.
+    valid = 1 - traj.is_boundary().astype(jnp.int32)
     onehot = jax.nn.one_hot(traj.action, self.num_actions, dtype=jnp.int32)
-    return state + jnp.sum(onehot, axis=0)
+    return state + jnp.sum(onehot * valid[:, None], axis=0)
 
   def result(self, state):
     return state

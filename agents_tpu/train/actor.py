@@ -43,7 +43,11 @@ class Actor:
     self.env = env
     self.policy = policy
     self.metrics = list(metrics)
-    self._train_step_fn = train_step_fn or (lambda: 0)
+    # None (e.g. an eval actor with no learner handle) means summaries
+    # key on the actor's own run count with no interval gate — a
+    # constant-0 step would otherwise make the gate permanently closed.
+    self._train_step_fn = train_step_fn
+    self._num_runs = 0
     all_observers = list(observers) + self.metrics
     self.driver = PyDriver(env, policy, observers=all_observers,
                            max_steps=steps_per_run,
@@ -64,6 +68,7 @@ class Actor:
       self.reset()
     self._time_step, self._policy_state = self.driver.run(
         self._time_step, self._policy_state)
+    self._num_runs += 1
 
   def run_and_log(self):
     self.run()
@@ -75,12 +80,15 @@ class Actor:
     return results
 
   def write_metric_summaries(self):
-    step = int(self._train_step_fn())
     if self.summary_writer is None:
       return
-    if step - self._last_summary < self.summary_interval:
-      return
-    self._last_summary = step
+    if self._train_step_fn is None:
+      step = self._num_runs  # no gate: every call writes, x = run count
+    else:
+      step = int(self._train_step_fn())
+      if step - self._last_summary < self.summary_interval:
+        return
+      self._last_summary = step
     for m in self.metrics:
       self.summary_writer.scalar(
           f"{self.name}/{m.name}" if self.name else m.name, m.result(),

@@ -120,10 +120,19 @@ class FusedTrainLoop:
     def train_once(carry, k):
       agent_state, replay_state = carry
       if self.prioritized:
-        experience, info = self.replay.sample(
-            replay_state, k, self.sample_batch_size,
-            num_steps=self.agent.train_sequence_length,
-            beta=self.per_beta)
+        if self.mesh is not None:
+          # Same routing as the uniform branch below: shard-local
+          # inverse-CDF sampling, else GSPMD all-gathers the whole
+          # sharded buffer every gradient step.
+          experience, info = self.replay.sample_sharded(
+              replay_state, k, self.sample_batch_size, self.mesh,
+              num_steps=self.agent.train_sequence_length,
+              beta=self.per_beta, axis_name=self.data_axis)
+        else:
+          experience, info = self.replay.sample(
+              replay_state, k, self.sample_batch_size,
+              num_steps=self.agent.train_sequence_length,
+              beta=self.per_beta)
         agent_state, loss_info = self.agent.train(
             agent_state, experience, weights=info.is_weights)
         td = getattr(loss_info.extra, "td_error", None)

@@ -58,6 +58,7 @@ class HostDeviceTrainLoop:
     self.py_metrics = list(py_metrics)
     self._compiled_collect = jax.jit(self._device_collect_only,
                                      static_argnames=("insert",))
+    self._compiled_insert = jax.jit(self._insert_only)
     self._compiled_step = jax.jit(self._device_step)
 
   # -- device programs -------------------------------------------------------
@@ -87,6 +88,17 @@ class HostDeviceTrainLoop:
     dev, action_step = self._insert_and_act(
         dev, host_time_step, prev_time_step, prev_action)
     return dev, action_step.action
+
+  def _insert_only(self, dev: DeviceState, host_time_step, prev_time_step,
+                   prev_action):
+    # Random initial collect discards the policy's action, so this
+    # program skips the policy forward pass and the action transfer
+    # entirely — the full collect program wasted both on every warmup
+    # tick (round-5 review).
+    frame = tj.from_transition(
+        prev_time_step, ps.PolicyStep(action=prev_action), host_time_step)
+    return dev.replace(replay_state=self.replay.add_batch(
+        dev.replay_state, frame))
 
   def _device_step(self, dev: DeviceState, host_time_step, prev_time_step,
                    prev_action):
@@ -134,12 +146,17 @@ class HostDeviceTrainLoop:
         self.agent.action_spec, outer_dims=(B,))
     prev_time_step = time_step
     for i in range(num_ticks):
-      dev, action = self._compiled_collect(
-          dev, time_step, prev_time_step, prev_action, insert=i > 0)
       if random:
+        # No policy involvement: insert the previous transition (tick 0
+        # has none — no device call at all) and draw host random actions.
+        if i > 0:
+          dev = self._compiled_insert(dev, time_step, prev_time_step,
+                                      prev_action)
         action = array_spec.np_sample_spec_nest(
             self.agent.action_spec, rng, outer_dims=(B,))
       else:
+        dev, action = self._compiled_collect(
+            dev, time_step, prev_time_step, prev_action, insert=i > 0)
         action = jax.tree_util.tree_map(np.asarray, action)
       next_time_step = self.env.step(action)
       self._observe(time_step, action, next_time_step)

@@ -93,6 +93,10 @@ class Learner:
       latest = self.checkpointer.latest_step()
       if latest:
         self.global_step = latest
+        # Re-baseline the throughput tracker: leaving it at step 0 makes
+        # the first steps_per_sec summary report (restored_step -
+        # 0) / process_age — a bogus spike after every resume.
+        self._tracker.restart(self.global_step)
       self._ckpt_trigger = IntervalTrigger(
           checkpoint_interval,
           lambda: self.checkpointer.save(self.global_step, self.state))
@@ -148,6 +152,12 @@ class Learner:
         elif (v.ndim == 1 and kinds.get(name) == "counts"
               and hasattr(w, "histogram_from_counts")):
           w.histogram_from_counts("collect/" + name, v, step)
+        elif v.ndim == 1:
+          # Vector metrics that are NOT bucket counts (e.g. the
+          # multi-objective AverageReturnMultiMetric): per-component
+          # scalars, so the metric is never silently dropped.
+          for i, comp in enumerate(v):
+            w.scalar(f"collect/{name}/{i}", float(comp), step)
     sps = self._tracker.steps_per_second(step)
     self._tracker.restart(step)
     w.scalar("steps_per_sec", sps, step)

@@ -36,8 +36,12 @@ _lib = None
 
 def ensure_built() -> str:
   src = os.path.join(_NATIVE_DIR, "varstore", "varstore.cc")
-  if (not os.path.exists(_LIB_PATH)
-      or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
+  # A pruned/installed tree may ship only the prebuilt .so; a missing
+  # source must not fail the staleness probe when the library exists.
+  stale = (not os.path.exists(_LIB_PATH)
+           or (os.path.exists(src)
+               and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+  if stale:
     try:
       subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                      capture_output=True)
