@@ -70,16 +70,23 @@ class Normal(Distribution):
     return -0.5 * (z**2 + _LOG_2PI) - jnp.log(self.scale)
 
   def entropy(self):
-    return _HALF_LOG_2PIE + jnp.log(self.scale)
+    # Broadcast to the batch shape like sample(): with a scalar scale
+    # over a batched loc, entropy is still per-batch-element.
+    batch = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+    return jnp.broadcast_to(_HALF_LOG_2PIE + jnp.log(self.scale), batch)
 
   def mode(self):
-    return self.loc
+    return jnp.broadcast_to(
+        self.loc,
+        jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale)))
 
   def mean(self):
-    return self.loc
+    return self.mode()
 
   def stddev(self):
-    return self.scale
+    return jnp.broadcast_to(
+        self.scale,
+        jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale)))
 
   def kl_divergence(self, other: "Normal"):
     var_ratio = (self.scale / other.scale) ** 2
@@ -377,9 +384,12 @@ class Beta(Distribution):
   concentration0: Any  # beta
 
   def sample(self, key, sample_shape=()):
-    shape = tuple(sample_shape) + jnp.shape(self.concentration1)
+    # Batch shape = broadcast of both concentrations (TFP semantics;
+    # a scalar prior mixed with a per-arm array must draw per arm).
+    batch = jnp.broadcast_shapes(jnp.shape(self.concentration1),
+                                 jnp.shape(self.concentration0))
     return jax.random.beta(key, self.concentration1, self.concentration0,
-                           shape)
+                           tuple(sample_shape) + batch)
 
   def log_prob(self, value):
     a, b = self.concentration1, self.concentration0

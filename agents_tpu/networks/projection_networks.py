@@ -40,7 +40,15 @@ class CategoricalProjection(nn.Module):
         bias_init=nn.initializers.zeros, dtype=self.dtype)(features)
     logits = logits.reshape(logits.shape[:-1] + tuple(self.event_shape)
                             + (self.num_actions,))
-    return dist_lib.Categorical(logits.astype(jnp.float32))
+    dist = dist_lib.Categorical(logits.astype(jnp.float32))
+    if self.event_shape:
+      # Reduce the event dims in log_prob/entropy: without this, a
+      # (1,)-shaped discrete spec emits [B, 1] log-probs that broadcast
+      # against other leaves into [B, B] garbage (the distributions
+      # contract is one value per batch element, distributions.py:14).
+      dist = dist_lib.Independent(
+          dist, reinterpreted_batch_ndims=len(self.event_shape))
+    return dist
 
 
 class NormalProjection(nn.Module):

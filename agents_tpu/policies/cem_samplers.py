@@ -172,6 +172,19 @@ class GaussianOneHotSampler(ActionsSampler):
     return (array_spec.is_discrete(spec) and len(spec.shape) == 1
             and int(np.max(spec.maximum)) == 1)
 
+  def __init__(self, action_spec, sample_clippers=()):
+    super().__init__(action_spec, sample_clippers)
+    for s in self.specs:
+      if array_spec.is_discrete(s) and not self._is_one_hot(s):
+        # A non-one-hot discrete leaf would silently fall into the
+        # Gaussian branch and emit fractional actions for an integer
+        # spec; integer-index leaves belong to GaussianHybridSampler
+        # (which rounds and casts).
+        raise ValueError(
+            f"GaussianOneHotSampler handles one-hot discrete leaves "
+            f"(rank-1, 0/1 bounds); got discrete spec {s}. Use "
+            "GaussianHybridSampler for integer-index action leaves.")
+
   def init(self, batch_size, initial_std=0.33):
     means, variances = [], []
     for s in self.specs:

@@ -79,11 +79,14 @@ class PolicySaver:
           stablehlo_info = "batch=1"
         except Exception as e:  # policy not exportable (host callbacks...)
           stablehlo_info = f"unavailable: {type(e).__name__}"
+    # Policies may be built with an observation-only time_step_spec —
+    # normalize to a full TimeStep like stablehlo_export does.
+    from agents_tpu.policies.stablehlo_export import _full_time_step_spec
+    tss = _full_time_step_spec(self.policy)
     manifest = {
         "time_step_spec": {
-            "observation": _spec_to_json(
-                self.policy.time_step_spec.observation),
-            "reward": _spec_to_json(self.policy.time_step_spec.reward),
+            "observation": _spec_to_json(tss.observation),
+            "reward": _spec_to_json(tss.reward),
         },
         "action_spec": _spec_to_json(self.policy.action_spec),
         "train_step": int(self.train_step),

@@ -37,10 +37,16 @@ class RandomPolicy(Policy):
         n_elems = float(np.prod(s.shape)) if s.shape else 1.0
         if array_spec.is_discrete(s):
           # Joint log-prob over ALL spec elements: a (k,)-shaped
-          # discrete spec is k independent uniform draws.
-          return jnp.full(batch_shape,
-                          -n_elems * np.log(float(s.num_values)),
-                          jnp.float32)
+          # discrete spec is k independent uniform draws. num_values is
+          # integer-bounded-only; bool is 2, unbounded ints sample from
+          # [-2^28, 2^28) (sample_spec above).
+          if np.dtype(s.dtype) == np.bool_:
+            nv = 2.0
+          elif hasattr(s, "minimum"):
+            nv = float(s.num_values)
+          else:
+            nv = float(2 ** 29)
+          return jnp.full(batch_shape, -n_elems * np.log(nv), jnp.float32)
         # Broadcast scalar bounds to the spec shape before summing —
         # scalar bounds on a (k,) spec must still contribute k terms.
         rng = np.broadcast_to(

@@ -13,10 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from agents_tpu import distributions as dist_lib
-from agents_tpu.policies.policy import Policy, clip_to_spec
+from agents_tpu.policies.policy import Policy
 from agents_tpu.specs import array_spec
 from agents_tpu.trajectories import policy_step as ps
-from agents_tpu.utils import common, nest_utils
+from agents_tpu.utils import nest_utils
 
 
 class GreedyPolicy(Policy):
@@ -106,6 +106,22 @@ class EpsilonGreedyPolicy(Policy):
               dstep.action,
               is_leaf=lambda x: hasattr(x, "mode")),
           [uniform.sample(k_rand)])
+    elif len(dist_leaves) == 1 and isinstance(
+        dist_leaves[0], dist_lib.ShiftedCategorical):
+      # Nonzero-minimum Q policies fold any action mask into the logits
+      # as NEG_INF (q_policy.py) — exploration must stay inside the mask
+      # (and inside [shift, shift+K), which sample_spec_nest also gives
+      # but without mask awareness).
+      d = dist_leaves[0]
+      valid = d.logits > dist_lib.NEG_INF / 2
+      uniform = dist_lib.ShiftedCategorical(
+          logits=jnp.where(valid, 0.0, dist_lib.NEG_INF), shift=d.shift,
+          dtype=d.dtype)
+      random_action = jax.tree_util.tree_unflatten(
+          jax.tree_util.tree_structure(
+              dstep.action,
+              is_leaf=lambda x: hasattr(x, "mode")),
+          [uniform.sample(k_rand)])
     explore = jax.random.uniform(k_mix, batch_shape) < self._epsilon(params)
     action = nest_utils.where(explore, random_action, greedy_action)
     return ps.PolicyStep(action=action, state=out_state, info=out_info)
@@ -134,6 +150,12 @@ class BoltzmannPolicy(Policy):
       if isinstance(d, dist_lib.MaskedCategorical):
         return dist_lib.MaskedCategorical(
             logits=d.logits / self.temperature, mask=d.mask, dtype=d.dtype)
+      if isinstance(d, dist_lib.ShiftedCategorical):
+        # Nonzero-minimum action specs (q_policy folds the spec shift
+        # into the distribution) cool the same way.
+        return dist_lib.ShiftedCategorical(
+            logits=d.logits / self.temperature, shift=d.shift,
+            dtype=d.dtype)
       if isinstance(d, dist_lib.Categorical):
         return dist_lib.Categorical(
             logits=d.logits / self.temperature, dtype=d.dtype)

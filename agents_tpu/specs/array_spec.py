@@ -205,8 +205,16 @@ def sample_spec(spec: ArraySpec, key: jax.Array) -> jax.Array:
     lo = np.broadcast_to(spec.minimum, shape)
     hi = np.broadcast_to(spec.maximum, shape)
     if np.issubdtype(spec.dtype, np.integer):
+      # Exclusive upper bound computed in numpy int64 (static) and
+      # clamped: `int32(hi) + 1` overflows for default-bounds specs
+      # (maximum = 2^31-1 wraps to INT32_MIN, silently sampling a
+      # constant). Bounds beyond int32 range lose their top value only.
+      i32 = np.iinfo(np.int32)
+      lo64 = np.clip(lo.astype(np.int64), i32.min, i32.max)
+      hi64 = np.clip(hi.astype(np.int64) + 1, i32.min, i32.max)
       out = jax.random.randint(
-          key, shape, jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32) + 1)
+          key, shape, jnp.asarray(lo64, jnp.int32),
+          jnp.asarray(hi64, jnp.int32))
       return out.astype(spec.dtype)
     if spec.dtype == np.bool_:
       return jax.random.bernoulli(key, 0.5, shape)
