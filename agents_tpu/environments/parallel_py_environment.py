@@ -63,13 +63,45 @@ def _worker(pipe, env_ctor):
 class ProcessPyEnvironment:
   """One env in a subprocess (reference ProcessPyEnvironment :230)."""
 
-  def __init__(self, env_ctor: Callable[[], PyEnvironment]):
+  def __init__(self, env_ctor: Callable[[], PyEnvironment],
+               start_method: str = None):
     self._ctor = env_ctor
     self._conn = None
     self._process = None
+    self._start_method = start_method
 
   def start(self):
-    ctx = mp.get_context("fork" if sys.platform != "win32" else "spawn")
+    method = self._start_method
+    if method is None:
+      # fork keeps lambdas/closures working (no pickling); but forking
+      # AFTER the JAX runtime has initialized clones its background
+      # threads mid-lock and can deadlock the child. Prefer spawn once a
+      # backend exists AND the ctor survives pickling; otherwise fall
+      # back to fork with a warning (the reference's ordering — build
+      # parallel envs before touching the accelerator — avoids both).
+      jax_live = False
+      try:
+        from jax._src import xla_bridge as _xb
+        jax_live = bool(_xb._backends)  # non-empty once initialized
+      except Exception:
+        pass
+      method = "fork"
+      if sys.platform == "win32":
+        method = "spawn"
+      elif jax_live:
+        import pickle
+        try:
+          pickle.dumps(self._ctor)
+          method = "spawn"
+        except Exception:
+          import warnings
+          warnings.warn(
+              "ParallelPyEnvironment: JAX runtime already initialized "
+              "and env_ctor is not picklable — forking may deadlock the "
+              "child if runtime threads hold locks. Construct parallel "
+              "envs before first jax use, or pass a picklable ctor.",
+              stacklevel=3)
+    ctx = mp.get_context(method)
     self._conn, child_conn = ctx.Pipe()
     self._process = ctx.Process(
         target=_worker, args=(child_conn, self._ctor), daemon=True)

@@ -458,7 +458,12 @@ class OneHotActionWrapper(PyEnvironmentBaseWrapper):
   def _step(self, action):
     idx = np.argmax(np.asarray(action), axis=-1).astype(
         self._inner_spec.dtype)
-    return self._env.step(idx + self._inner_spec.minimum)
+    idx = idx + self._inner_spec.minimum
+    # The constructor accepts shape-(1,) inner specs; forward an action
+    # of that shape, not the argmax scalar.
+    if self._inner_spec.shape == (1,):
+      idx = np.reshape(idx, np.shape(idx) + (1,))
+    return self._env.step(idx)
 
 
 class ObservationFilterWrapper(PyEnvironmentBaseWrapper):

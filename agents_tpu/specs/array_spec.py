@@ -218,12 +218,18 @@ def sample_spec(spec: ArraySpec, key: jax.Array) -> jax.Array:
       return out.astype(spec.dtype)
     if spec.dtype == np.bool_:
       return jax.random.bernoulli(key, 0.5, shape)
-    # Uniform in bounds, but guard against dtype-extreme (unbounded) specs.
+    # Dtype-extreme (unbounded) specs -> standard normal. Checked on the
+    # RAW bounds: clipping first made the finfo comparison unreachable
+    # for float32/64, so default-bounds specs sampled uniform at ~1e18
+    # magnitude (round-5 review).
     finfo = np.finfo(spec.dtype)
-    lo_c = np.maximum(lo.astype(np.float64), -1e18)
-    hi_c = np.minimum(hi.astype(np.float64), 1e18)
-    if np.all(lo_c <= finfo.min / 2) and np.all(hi_c >= finfo.max / 2):
+    lo_f = lo.astype(np.float64)
+    hi_f = hi.astype(np.float64)
+    if np.all(lo_f <= float(finfo.min) / 2) and \
+        np.all(hi_f >= float(finfo.max) / 2):
       return jax.random.normal(key, shape, dtype=spec.dtype)
+    lo_c = np.maximum(lo_f, -1e18)
+    hi_c = np.minimum(hi_f, 1e18)
     return jax.random.uniform(
         key, shape, minval=lo_c, maxval=hi_c).astype(spec.dtype)
   if np.issubdtype(spec.dtype, np.integer):
@@ -253,8 +259,16 @@ def np_sample_spec_nest(specs, rng, outer_dims: Sequence[int] = ()):
                            ).astype(s.dtype)
       if s.dtype == np.bool_:
         return rng.rand(*shape) < 0.5
-      lo_c = np.maximum(lo.astype(np.float64), -1e6)
-      hi_c = np.minimum(hi.astype(np.float64), 1e6)
+      # Dtype-extreme (unbounded) float specs -> standard normal, same
+      # as the jax twin sample_spec; clipped uniform only for genuinely
+      # bounded specs.
+      finfo = np.finfo(s.dtype)
+      lo_f, hi_f = lo.astype(np.float64), hi.astype(np.float64)
+      if np.all(lo_f <= float(finfo.min) / 2) and \
+          np.all(hi_f >= float(finfo.max) / 2):
+        return rng.standard_normal(shape).astype(s.dtype)
+      lo_c = np.maximum(lo_f, -1e6)
+      hi_c = np.minimum(hi_f, 1e6)
       return rng.uniform(np.broadcast_to(lo_c, shape),
                          np.broadcast_to(hi_c, shape)).astype(s.dtype)
     if np.issubdtype(s.dtype, np.integer):
@@ -290,7 +304,10 @@ def zero_spec_nest(specs, outer_dims: Sequence[int] = ()):
 
 
 def check_arrays_nest(arrays, specs) -> bool:
-  """True iff `arrays` conforms leaf-wise to `specs` (array_spec.py:114)."""
+  """True iff `arrays` conforms to `specs` — STRUCTURE and leaf-wise
+  shape/dtype (array_spec.py:114; the reference asserts same structure,
+  so a dict with wrong keys must fail even when flattened leaves happen
+  to line up)."""
   try:
     spec_leaves, spec_def = jax.tree_util.tree_flatten(specs, is_leaf=_is_spec)
     arr_leaves, arr_def = jax.tree_util.tree_flatten(arrays)
@@ -298,6 +315,17 @@ def check_arrays_nest(arrays, specs) -> bool:
     return False
   if len(spec_leaves) != len(arr_leaves):
     return False
+  if spec_def != arr_def:
+    # Structures must match, modulo specs being leaves: re-flatten the
+    # spec nest without the is_leaf override for a like-for-like treedef
+    # (a spec "leaf" that is itself a container would differ spuriously).
+    try:
+      plain_def = jax.tree_util.tree_structure(
+          jax.tree_util.tree_unflatten(spec_def, [0] * len(spec_leaves)))
+    except Exception:
+      return False
+    if plain_def != arr_def:
+      return False
   return all(s.check_array(a) for s, a in zip(spec_leaves, arr_leaves))
 
 

@@ -17,7 +17,7 @@ from typing import Any, Iterator, Optional
 import jax
 import numpy as np
 
-from agents_tpu.policies.policy_saver import _spec_from_json, _spec_to_json
+from agents_tpu.policies.policy_saver import _spec_to_json
 from agents_tpu.specs import array_spec
 
 
@@ -95,13 +95,31 @@ def dataset_to_replay(path: str, template, replay, replay_state):
   import jax.numpy as jnp
 
   add = jax.jit(replay.add_sequence)
+  # Per-frame rank from the replay's own (unbatched) data spec — the
+  # `template` may be a batched example frame, which makes leading-dim
+  # inference from it ambiguous.
+  spec_leaves = jax.tree_util.tree_leaves(
+      replay.data_spec, is_leaf=lambda x: hasattr(x, "shape"))
+  frame_rank = len(spec_leaves[0].shape)
   for shard in load_trajectory_dataset(path, template):
     leaves = jax.tree_util.tree_leaves(shard)
     n = leaves[0].shape[0]
-    has_rows = leaves[0].ndim >= 2 and leaves[0].shape[1] == replay.batch_size
-    if not has_rows:
+    # Batched-ness from the per-frame template rank, not a shape
+    # coincidence: leading dims are [N] (unbatched stream) or [N, B].
+    lead = leaves[0].ndim - frame_rank
+    if lead == 2:
+      if leaves[0].shape[1] != replay.batch_size:
+        raise ValueError(
+            f"dataset batch size {leaves[0].shape[1]} != replay "
+            f"batch_size {replay.batch_size}; re-record or rebuild the "
+            "replay with matching rows")
+    elif lead == 1:
       shard = jax.tree_util.tree_map(
           lambda x: np.broadcast_to(
               x[:, None], (n, replay.batch_size) + x.shape[1:]), shard)
+    else:
+      raise ValueError(
+          f"shard leading rank {lead} unsupported (expected [N,...] or "
+          "[N, B, ...])")
     replay_state = add(replay_state, shard)
   return replay_state

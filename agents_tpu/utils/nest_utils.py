@@ -53,12 +53,21 @@ def get_outer_rank(nest, specs) -> int:
 
 
 def get_outer_shape(nest, specs) -> tuple:
-  """Leading batch shape shared by all leaves (reference :886)."""
+  """Leading batch shape shared by all leaves (reference :886).
+
+  Raises when leaves agree on outer RANK but disagree on outer SIZES —
+  a corrupted nest must fail here, not misalign rows downstream."""
   rank = get_outer_rank(nest, specs)
   leaves = jax.tree_util.tree_leaves(nest)
   if not leaves:
     return ()
-  return tuple(jnp.shape(leaves[0]))[:rank]
+  outer = tuple(jnp.shape(leaves[0]))[:rank]
+  for leaf in leaves[1:]:
+    if tuple(jnp.shape(leaf))[:rank] != outer:
+      raise ValueError(
+          f"Inconsistent outer dims across nest leaves: {outer} vs "
+          f"{tuple(jnp.shape(leaf))[:rank]}")
+  return outer
 
 
 def is_batched_nested_tensors(nest, specs, num_outer_dims: int = 1) -> bool:

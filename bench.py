@@ -36,6 +36,14 @@ import numpy as np
 # Measured via benchmark/ref_dqn_baseline.py (see module docstring).
 TF_AGENTS_CPU_ENV_STEPS_PER_S = 362.0
 
+# Reference SAC collect+train cadence on this host CPU, measured via
+# benchmark/ref_sac_baseline.py (the reference's own SacAgent +
+# TanhNormalProjection at the haarnoja18 operating point, Walker2d-v5,
+# 250k steps sustained — docs/ref_sac_v5_measurement.md). The round-4
+# verdict called this the missing denominator for BASELINE.json's
+# >=10x-per-chip target on SAC.
+TF_AGENTS_SAC_CPU_ENV_STEPS_PER_S = 61.0
+
 # TPU v5e (lite) peak: 197 TFLOP/s bf16 per chip.
 V5E_PEAK_FLOPS_BF16 = 197e12
 
@@ -120,6 +128,9 @@ def sac_live_probe(seconds: float = 90.0):
       "ramp_runs": ramp_runs,
       "ramp_utd": round(ramp_utd, 3),
       "window_s": round(dt, 1),
+      "ref_cpu_env_steps_per_s": TF_AGENTS_SAC_CPU_ENV_STEPS_PER_S,
+      "vs_baseline": round(
+          ticks * B / dt / TF_AGENTS_SAC_CPU_ENV_STEPS_PER_S, 1),
       "note": "live haarnoja18 operating point, 32 MuJoCo envs on host; "
               "pre-ramped until the trainer thread sustains UTD, so the "
               "timed window covers the train path (probe_ok=false means "
