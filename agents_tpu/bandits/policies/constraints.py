@@ -214,11 +214,15 @@ def construct_mask_from_multiple_sources(
   mask = None
   if observation_and_action_constraint_splitter is not None:
     observation, mask = observation_and_action_constraint_splitter(observation)
-  elif (isinstance(observation, dict)
-        and NUM_ACTIONS_FEATURE_KEY in observation):
+  # Independent sources combined by AND (reference :575 uses two
+  # separate ifs): a splitter does not disable the num_actions feature —
+  # arms beyond a sample's num_actions are padding and stay masked.
+  if (isinstance(observation, dict)
+      and NUM_ACTIONS_FEATURE_KEY in observation):
     num = observation[NUM_ACTIONS_FEATURE_KEY]
-    mask = (jnp.arange(max_num_actions)[None, :]
-            < num.reshape(-1, 1)).astype(jnp.int32)
+    num_mask = (jnp.arange(max_num_actions)[None, :]
+                < num.reshape(-1, 1)).astype(jnp.int32)
+    mask = num_mask if mask is None else mask * num_mask
   if constraints:
     prob = compute_feasibility_probability(
         observation, constraints, constraint_params, max_num_actions, mask)

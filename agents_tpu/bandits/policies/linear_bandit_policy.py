@@ -69,7 +69,14 @@ class LinearBanditPolicy(Policy):
     return ps.PolicyStep(action=action, state=state, info=())
 
   def _distribution(self, params, time_step, state):
-    scores = self._scores(params, time_step.observation,
-                          jax.random.key(0))
+    if self.strategy != ExplorationStrategy.optimistic:
+      # TS draws a fresh theta_tilde per action; a keyless distribution
+      # would freeze the perturbation (a biased greedy that can starve
+      # arms) — only action() carries the RNG stream.
+      raise NotImplementedError(
+          "Thompson-sampling LinearBanditPolicy has no closed-form "
+          "action distribution; use action() (the per-call theta draw "
+          "IS the exploration).")
+    scores = self._scores(params, time_step.observation)
     return ps.PolicyStep(
         action=dist_lib.Categorical(scores * 1e6), state=state, info=())

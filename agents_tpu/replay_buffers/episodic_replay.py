@@ -161,7 +161,15 @@ class EpisodicReplay:
           f"sequence length {T} exceeds max_episode_len "
           f"{self.max_episode_len}")
     length = jnp.asarray(T if length is None else length, jnp.int32)
-    slot = state.next_slot % self.num_slots
+    # Skip slots currently OPEN for add_batch rows (same protection as
+    # add_batch's fresh-slot assignment): taking next_slot blindly can
+    # land on an in-progress row's slot after the ring wraps, after
+    # which that row's writes clobber the committed sequence.
+    ns = self.num_slots
+    busy = jnp.zeros((ns,), bool).at[state.open_slot].set(True)
+    free = jax.lax.while_loop(
+        lambda c: busy[c % ns], lambda c: c + 1, state.next_slot)
+    slot = free % ns
 
     def write_leaf(s, x):
       pad = ((0, self.max_episode_len - T),) + ((0, 0),) * (x.ndim - 1)
@@ -172,7 +180,7 @@ class EpisodicReplay:
         storage=storage,
         lengths=state.lengths.at[slot].set(length),
         episode_ids=state.episode_ids.at[slot].set(state.next_episode_id),
-        next_slot=(state.next_slot + 1) % self.num_slots,
+        next_slot=(free + 1) % self.num_slots,
         next_episode_id=state.next_episode_id + 1,
         num_completed=state.num_completed + 1)
 

@@ -131,10 +131,11 @@ class PrioritizedReplay:
     else:
       new_p = jnp.abs(priorities).astype(jnp.float32) + self.epsilon
       max_p = jnp.maximum(state.max_priority, new_p.max())
+    from agents_tpu.replay_buffers.uniform_replay import renorm_count
     return PrioritizedReplayState(
         storage=storage,
         priorities=state.priorities.at[pos].set(new_p),
-        count=state.count + 1,
+        count=renorm_count(state.count + 1, self.capacity),
         max_priority=max_p)
 
   def add_sequence(self, state, items):

@@ -44,6 +44,17 @@ class BufferInfo(NamedTuple):
   probabilities: jax.Array  # [sample_batch_size]
 
 
+def renorm_count(count, capacity: int):
+  """Keep the int32 frame counter far from overflow (the reference uses
+  int64 ids; x64 is disabled under jit here). All window/slot math
+  depends on `count` only through `count % capacity` and the recent
+  window `count - size`, so subtracting a multiple of capacity once the
+  counter crosses 2^30 is invisible — an unrenormalized counter wraps
+  negative after ~2.1e9 frames and silently corrupts the valid window."""
+  wrap = max((1 << 29) // capacity * capacity, capacity)
+  return jnp.where(count >= (1 << 30), count - wrap, count)
+
+
 def check_min_size(count, n: int, debug_asserts: bool = False) -> None:
   """Underfill guard: sampling with count < num_steps would return
   windows of never-written storage (the valid-window clamps otherwise
@@ -119,7 +130,8 @@ class UniformReplay:
     items = self.packer.to_stored(items, outer_ndim=1)
     storage = jax.tree_util.tree_map(
         lambda s, x: s.at[row].set(x.astype(s.dtype)), state.storage, items)
-    return ReplayState(storage=storage, count=state.count + 1)
+    return ReplayState(storage=storage,
+                       count=renorm_count(state.count + 1, self.capacity))
 
   def add_sequence(self, state: ReplayState, items) -> ReplayState:
     """Write [T, B, ...] frames via lax.scan of add_batch."""
@@ -140,6 +152,12 @@ class UniformReplay:
     conventions, reference :329).
     """
     n = 1 if num_steps is None else int(num_steps)
+    if n > self.capacity:
+      # Once count > capacity the window math would wrap the ring and
+      # splice old frames in as the "continuation" with no error.
+      raise ValueError(
+          f"sample(num_steps={n}) exceeds ring capacity {self.capacity}: "
+          "windows longer than the ring cannot be time-contiguous")
     self._check_min_size(state.count, n)
     k_t, k_b = jax.random.split(key)
     size = self.size(state)

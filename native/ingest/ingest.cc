@@ -33,7 +33,12 @@
 namespace {
 
 struct RingHeader {
-  uint64_t magic;
+  // Atomic: the creator publishes magic LAST with release semantics so
+  // an attacher that observes it (acquire) also observes
+  // frame_bytes/capacity/head/tail/seq initialization — plain stores
+  // let a concurrent attacher pass the magic check and wire() itself
+  // with capacity=0, aliasing the seq array.
+  std::atomic<uint64_t> magic;
   uint64_t frame_bytes;
   uint64_t capacity;      // number of slots, power of two
   std::atomic<uint64_t> head;  // next slot to claim (producers)
@@ -96,7 +101,6 @@ void* ingest_create(const char* name, uint64_t frame_bytes,
   r->name = name;
   r->owner = true;
   wire(r, base, capacity);
-  r->hdr->magic = kMagic;
   r->hdr->frame_bytes = frame_bytes;
   r->hdr->capacity = capacity;
   r->hdr->head.store(0);
@@ -105,6 +109,7 @@ void* ingest_create(const char* name, uint64_t frame_bytes,
   for (uint64_t i = 0; i < capacity; ++i) {
     r->seq[i].store(0, std::memory_order_relaxed);
   }
+  r->hdr->magic.store(kMagic, std::memory_order_release);
   return r;
 }
 
@@ -124,7 +129,7 @@ void* ingest_attach(const char* name) {
     return nullptr;
   }
   RingHeader* hdr = reinterpret_cast<RingHeader*>(base);
-  if (hdr->magic != kMagic) {
+  if (hdr->magic.load(std::memory_order_acquire) != kMagic) {
     munmap(base, st.st_size);
     close(fd);
     return nullptr;
@@ -148,9 +153,13 @@ uint64_t ingest_dropped(void* h) {
   return static_cast<Ring*>(h)->hdr->dropped.load();
 }
 uint64_t ingest_size(void* h) {
+  // tail BEFORE head: a concurrent drain between the two loads then
+  // only undercounts; head-first can make tail pass the loaded head and
+  // the unsigned difference explode to ~2^64.
   Ring* r = static_cast<Ring*>(h);
-  return r->hdr->head.load(std::memory_order_acquire) -
-         r->hdr->tail.load(std::memory_order_acquire);
+  uint64_t tail = r->hdr->tail.load(std::memory_order_acquire);
+  uint64_t head = r->hdr->head.load(std::memory_order_acquire);
+  return head >= tail ? head - tail : 0;
 }
 
 // Push n frames (producer). Returns number actually enqueued.
