@@ -1,51 +1,56 @@
 #!/bin/bash
-# Round-5 TPU queue: runs after the Humanoid 5M run frees the chip.
-# Strictly serial (one JAX process at a time on the axon relay).
+# Round-5 TPU queue, priority-ordered per the round-4 verdict:
+# 1) finish Humanoid 5M (resume from checkpoint), 2) conv profile at two
+# capacities, 3) Walker2d seeds 1-2. Strictly serial (one JAX process on
+# the axon relay). Each stage is timeout-bounded so a stall cannot eat
+# the stages behind it; artifacts are copied only when complete (partial
+# runs get a _partial suffix, never the promised name).
 set -x
 cd /root/repo
 
-finish_humanoid() {
-  # Resume the 5M run if the timeout cut it short (checkpoint/resume is
-  # the round-5 capability — finishing in a second chunk exercises it).
-  last=$(grep '"step"' /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl | tail -1 | python -c "import sys,json;print(json.loads(sys.stdin.read())['step'])")
-  if [ "$last" -lt 4990000 ]; then
-    timeout 7200 python examples/sac_halfcheetah.py \
-      --cfg.root_dir=/tmp/agents_tpu/sac_humanoid_5m_s0 \
-      --cfg.env_name=Humanoid-v5 --cfg.total_env_steps=5000000 \
-      --cfg.initial_collect_ticks=32 --cfg.train_steps_per_call=32 \
-      --cfg.utd_ratio=1.0 --cfg.eval_every_ticks=4000 \
-      --cfg.checkpoint_interval_ticks=8000 --cfg.seed=0 \
-      >> /tmp/humanoid5m.log 2>&1
-  fi
-  cp /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl results/sac_humanoid_5m_s0.jsonl
-  cp /tmp/agents_tpu/sac_humanoid_5m_s0/config.json results/sac_humanoid_5m_s0_config.json
+last_step() {
+  grep '"step"' "$1" 2>/dev/null | tail -1 | \
+    python -c "import sys,json;print(json.loads(sys.stdin.read()).get('step',0))" 2>/dev/null || echo 0
 }
 
-walker_seed() {
-  s=$1
-  timeout 4200 python examples/sac_halfcheetah.py \
+# -- 1. Humanoid: resume to 5M ------------------------------------------------
+hs=$(last_step /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl)
+if [ "$hs" -lt 4990000 ]; then
+  timeout 6600 python examples/sac_halfcheetah.py \
+    --cfg.root_dir=/tmp/agents_tpu/sac_humanoid_5m_s0 \
+    --cfg.env_name=Humanoid-v5 --cfg.total_env_steps=5000000 \
+    --cfg.initial_collect_ticks=32 --cfg.train_steps_per_call=32 \
+    --cfg.utd_ratio=1.0 --cfg.eval_every_ticks=4000 \
+    --cfg.checkpoint_interval_ticks=8000 --cfg.seed=0 \
+    >> /tmp/humanoid5m.log 2>&1
+fi
+hs=$(last_step /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl)
+if [ "$hs" -ge 4990000 ]; then
+  cp /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl results/sac_humanoid_5m_s0.jsonl
+  cp /tmp/agents_tpu/sac_humanoid_5m_s0/config.json results/sac_humanoid_5m_s0_config.json
+else
+  cp /tmp/agents_tpu/sac_humanoid_5m_s0/train.jsonl results/sac_humanoid_5m_s0_partial.jsonl
+fi
+echo STAGE_HUMANOID_DONE step=$hs
+
+# -- 2. Conv profile (verdict #3) --------------------------------------------
+timeout 1800 python benchmark/profile_conv_trace.py > /tmp/profile_conv.log 2>&1
+echo STAGE_PROFILE_DONE rc=$?
+
+# -- 3. Walker2d seeds 1-2 (verdict #4) --------------------------------------
+for s in 1 2; do
+  timeout 2700 python examples/sac_halfcheetah.py \
     --cfg.root_dir=/tmp/agents_tpu/sac_walker2d_s$s \
     --cfg.env_name=Walker2d-v5 --cfg.total_env_steps=1000000 \
     --cfg.seed=$s --cfg.checkpoint_interval_ticks=8000 \
     > /tmp/walker_s$s.log 2>&1
-  cp /tmp/agents_tpu/sac_walker2d_s$s/train.jsonl results/sac_walker2d_1m_s$s.jsonl
-  cp /tmp/agents_tpu/sac_walker2d_s$s/config.json results/sac_walker2d_1m_s${s}_config.json
-}
-
-ppo_run() {
-  env=$1; name=$2
-  timeout 3600 python examples/ppo_halfcheetah.py \
-    --cfg.root_dir=/tmp/agents_tpu/ppo_${name}_s0 \
-    --cfg.env_name=$env --cfg.seed=0 \
-    > /tmp/ppo_${name}.log 2>&1
-  cp /tmp/agents_tpu/ppo_${name}_s0/train.jsonl results/ppo_${name}_1m_s0.jsonl
-  cp /tmp/agents_tpu/ppo_${name}_s0/config.json results/ppo_${name}_1m_s0_config.json
-}
-
-finish_humanoid
-walker_seed 1
-walker_seed 2
-timeout 2400 python benchmark/profile_conv_trace.py > /tmp/profile_conv.log 2>&1
-ppo_run Hopper-v5 hopper
-ppo_run Walker2d-v5 walker2d
+  ws=$(last_step /tmp/agents_tpu/sac_walker2d_s$s/train.jsonl)
+  if [ "$ws" -ge 990000 ]; then
+    cp /tmp/agents_tpu/sac_walker2d_s$s/train.jsonl results/sac_walker2d_1m_s$s.jsonl
+    cp /tmp/agents_tpu/sac_walker2d_s$s/config.json results/sac_walker2d_1m_s${s}_config.json
+  else
+    cp /tmp/agents_tpu/sac_walker2d_s$s/train.jsonl results/sac_walker2d_1m_s${s}_partial.jsonl 2>/dev/null
+  fi
+  echo STAGE_WALKER_S${s}_DONE step=$ws
+done
 echo QUEUE_DONE
