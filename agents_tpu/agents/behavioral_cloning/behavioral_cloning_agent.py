@@ -44,6 +44,16 @@ class BehavioralCloningAgent(Agent):
     self.network_is_distribution = network_is_distribution
     self.gradient_clipping = gradient_clipping
     self.train_sequence_length = None  # any [B, T]
+    if not network_is_distribution:
+      # Q-network path indexes logits by the raw action value — same
+      # zero-minimum requirement as DqnAgent.
+      import numpy as _np
+      for s in jax.tree_util.tree_leaves(
+          action_spec, is_leaf=lambda x: hasattr(x, "minimum")):
+        if hasattr(s, "minimum") and int(_np.asarray(s.minimum)) != 0:
+          raise ValueError(
+              f"BehavioralCloningAgent with a logits network requires "
+              f"action spec minimum 0, got {s}")
 
     if network_is_distribution:
       self.collect_policy = ActorPolicy(time_step_spec, action_spec, network)

@@ -69,6 +69,18 @@ class CategoricalDqnAgent(Agent):
                gradient_clipping: Optional[float] = None):
     self.time_step_spec = time_step_spec
     self.action_spec = action_spec
+    # Same guard as DqnAgent (the reference inherits it): the loss
+    # indexes atom logits by the raw action value; a nonzero spec
+    # minimum (whose QPolicy emits shifted actions) would silently train
+    # action a's distribution on action a-1's data, with the top index
+    # clamped by take_along_axis instead of erroring.
+    import numpy as _np
+    for s in jax.tree_util.tree_leaves(
+        action_spec, is_leaf=lambda x: hasattr(x, "minimum")):
+      if int(_np.asarray(s.minimum)) != 0:
+        raise ValueError(
+            f"CategoricalDqnAgent action specs should have minimum of "
+            f"0, got {s}")
     self.q_network = categorical_q_network
     self.optimizer = optimizer
     self.min_q_value = float(min_q_value)

@@ -264,6 +264,7 @@ class CqlSacAgent(SacAgent):
           jax.random.key(self.random_seed), agent_state.train_step)
     k_sac, k_cql = jax.random.split(key)
 
+    tj.check_adjacent_transition_sequence(experience, "CqlSacAgent")
     transition = tj.to_transition(experience)
     squeeze = lambda x: jax.tree_util.tree_map(lambda t: t[:, 0], x)
     time_steps = squeeze(transition.time_step)

@@ -134,6 +134,7 @@ class DdpgAgent(Agent):
 
   def train(self, agent_state: DdpgAgentState, experience,
             weights=None) -> Tuple[DdpgAgentState, LossInfo]:
+    tj.check_adjacent_transition_sequence(experience, "DdpgAgent")
     transition = tj.to_transition(experience)
     squeeze = lambda x: jax.tree_util.tree_map(lambda t: t[:, 0], x)
     time_steps = squeeze(transition.time_step)

@@ -173,6 +173,15 @@ class PPOAgent(Agent):
           agent_state.reward_norm_state, rewards,
           clip_value=self.reward_norm_clipping, center_mean=False)
     discounts = self.gamma * experience.discount[:, :-1]
+    # Zero the discount at episode-final transitions (reference
+    # get_episode_mask at ppo_agent.py:672): a TIME-LIMIT boundary keeps
+    # discount 1 (truncation bootstraps in TD settings), but the
+    # GAE/return recursion must still restart there — otherwise the next
+    # episode's values and reset rewards chain into every advantage of
+    # the truncated episode.
+    episode_mask = (experience.next_step_type[:, :-1] !=
+                    ts.StepType.LAST).astype(discounts.dtype)
+    discounts = discounts * episode_mask
     value_preds = experience.policy_info["value_prediction"]  # [B, T]
 
     values_tm = jnp.swapaxes(value_preds[:, :-1], 0, 1)

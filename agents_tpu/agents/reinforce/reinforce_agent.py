@@ -84,6 +84,13 @@ class ReinforceAgent(Agent):
     log_prob = common.log_probability(
         dist, flat(experience.action)).reshape(B, T)
 
+    # Reference normalizes by the number of COMPLETE episodes
+    # (:327-352: sum(is_last)) — counting FIRST frames would include the
+    # trailing partial episode the training mask excludes.
+    num_episodes = jnp.maximum(
+        jnp.sum((experience.next_step_type == ts.StepType.LAST).astype(
+            jnp.float32)), 1.0)
+
     advantage = returns
     value_loss = jnp.zeros(())
     if self.value_network:
@@ -92,7 +99,7 @@ class ReinforceAgent(Agent):
       values = values.reshape(B, T)
       advantage = returns - jax.lax.stop_gradient(values)
       value_loss = self.value_estimation_loss_coef * jnp.sum(
-          jnp.square(returns - values) * mask) / jnp.maximum(B, 1)
+          jnp.square(returns - values) * mask) / num_episodes
 
     if self.normalize_returns:
       denom = jnp.maximum(jnp.sum(mask), 1.0)
@@ -100,10 +107,6 @@ class ReinforceAgent(Agent):
       var = jnp.sum(jnp.square(advantage - mean) * mask) / denom
       advantage = (advantage - mean) / (jnp.sqrt(var) + 1e-6)
 
-    # Reference normalizes by the number of EPISODES (:400-460).
-    num_episodes = jnp.maximum(
-        jnp.sum((experience.step_type == ts.StepType.FIRST).astype(
-            jnp.float32)), 1.0)
     pg_loss = -jnp.sum(log_prob * advantage * mask) / num_episodes
 
     entropy_loss = jnp.zeros(())
@@ -120,11 +123,26 @@ class ReinforceAgent(Agent):
             key=None) -> Tuple[ReinforceAgentState, LossInfo]:
     """experience: Trajectory [B, T] of (ideally whole) episodes."""
     del weights, key
+    # Zero the discount at episode-final transitions so MC returns
+    # restart at boundaries even for truncated (discount-1) episodes
+    # (reference reinforce_agent.py:258-266 masks with
+    # next_step_type != LAST "in cases where episodes are truncated").
+    boundary = (experience.next_step_type ==
+                ts.StepType.LAST).astype(experience.discount.dtype)
+    discounts = experience.discount * self.gamma * (1.0 - boundary)
     rewards_tm = jnp.swapaxes(experience.reward, 0, 1)
-    discounts_tm = jnp.swapaxes(experience.discount * self.gamma, 0, 1)
+    discounts_tm = jnp.swapaxes(discounts, 0, 1)
     returns = jnp.swapaxes(
         value_ops.discounted_return(rewards_tm, discounts_tm), 0, 1)
     mask = (experience.step_type != ts.StepType.LAST).astype(jnp.float32)
+    # Zero-weight frames AFTER the last completed episode in each row:
+    # a trailing partial episode's returns are cut at the window edge
+    # with no bootstrap — training on them reinforces truncation noise
+    # (reference :339-352, reverse-cumsum of is_last).
+    is_last = (experience.next_step_type ==
+               ts.StepType.LAST).astype(jnp.float32)
+    remaining_lasts = jnp.cumsum(is_last[:, ::-1], axis=1)[:, ::-1]
+    mask = mask * (remaining_lasts > 0).astype(jnp.float32)
 
     params = (agent_state.actor_params, agent_state.value_params)
     (loss, extra), grads = jax.value_and_grad(self._loss, has_aux=True)(

@@ -191,6 +191,7 @@ class SacAgent(Agent):
           jax.random.key(17), agent_state.train_step)
     k_critic, k_actor = jax.random.split(key)
 
+    tj.check_adjacent_transition_sequence(experience, "SacAgent")
     transition = tj.to_transition(experience)
     time_steps = jax.tree_util.tree_map(
         lambda x: x[:, 0], transition.time_step)

@@ -145,6 +145,7 @@ class Td3Agent(Agent):
             key: Optional[jax.Array] = None) -> Tuple[Td3AgentState, LossInfo]:
     if key is None:
       key = jax.random.fold_in(jax.random.key(23), agent_state.train_step)
+    tj.check_adjacent_transition_sequence(experience, "Td3Agent")
     transition = tj.to_transition(experience)
     squeeze = lambda x: jax.tree_util.tree_map(lambda t: t[:, 0], x)
     time_steps = squeeze(transition.time_step)

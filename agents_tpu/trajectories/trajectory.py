@@ -259,6 +259,22 @@ def trajectory_spec(time_step_spec: ts.TimeStep, action_spec,
   )
 
 
+def check_adjacent_transition_sequence(experience, agent_name: str):
+  """Static guard for agents that train on single adjacent-frame
+  transitions (train_sequence_length == 2): to_transition of a longer
+  [B, T] window yields T-1 transitions and the [:, 0] squeeze would
+  silently discard all but the first — data loss with no error (the
+  reference's AsTransition converter raises the same way,
+  data_converter.py:377)."""
+  shape = jnp.shape(experience.step_type)
+  if len(shape) != 2 or shape[1] != 2:
+    raise ValueError(
+        f"{agent_name} trains on adjacent-frame transitions "
+        f"(train_sequence_length=2); got experience with step_type shape "
+        f"{shape}. Sample replay with num_steps=2 — a longer window "
+        "would be silently truncated to its first transition.")
+
+
 def to_transition_spec(traj_spec: Trajectory) -> Transition:
   """Transition spec from a trajectory spec (reference :852)."""
   time_step_spec = ts.TimeStep(
