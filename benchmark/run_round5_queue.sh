@@ -53,4 +53,21 @@ for s in 1 2; do
   fi
   echo STAGE_WALKER_S${s}_DONE step=$ws
 done
+
+# -- 4. PPO Hopper + Walker2d to 1M (verdict #5) -----------------------------
+for env in Hopper Walker2d; do
+  name=$(echo $env | tr 'A-Z' 'a-z')
+  timeout 3000 python examples/ppo_halfcheetah.py \
+    --cfg.root_dir=/tmp/agents_tpu/ppo_${name}_s0 \
+    --cfg.env_name=${env}-v5 --cfg.seed=0 \
+    > /tmp/ppo_${name}.log 2>&1
+  ps=$(last_step /tmp/agents_tpu/ppo_${name}_s0/train.jsonl)
+  if [ "$ps" -ge 990000 ]; then
+    cp /tmp/agents_tpu/ppo_${name}_s0/train.jsonl results/ppo_${name}_1m_s0.jsonl
+    cp /tmp/agents_tpu/ppo_${name}_s0/config.json results/ppo_${name}_1m_s0_config.json
+  else
+    cp /tmp/agents_tpu/ppo_${name}_s0/train.jsonl results/ppo_${name}_1m_s0_partial.jsonl 2>/dev/null
+  fi
+  echo STAGE_PPO_${name}_DONE step=$ps
+done
 echo QUEUE_DONE
