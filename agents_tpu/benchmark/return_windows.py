@@ -30,6 +30,15 @@ SAC_HALFCHEETAH_WINDOWS = (
 DQN_PONG_WINDOWS = (ReturnWindow(3_000_000, -14.0, 21.0),)
 # ppo_benchmark.py:58 — HalfCheetah-v2 hard-failure limits at 1M steps.
 PPO_HALFCHEETAH_WINDOWS = (ReturnWindow(1_000_000, 2_400.0, 7_000.0),)
+# The reference's PerfZero publishes windows only for HalfCheetah; for
+# Hopper/Walker2d it publishes schulman17 means (ppo/README.md:49-50:
+# Hopper 2,530 / Walker2d 2,971 @1M, v2 physics). These windows apply
+# the HalfCheetah window's lower ratio (2400/4239 ~= 0.57x mean) to
+# those means, with the same generous upper bound — a single v5 seed
+# below 0.57x the published v2 mean is a real regression signal, not
+# seed noise.
+PPO_HOPPER_WINDOWS = (ReturnWindow(1_000_000, 1_440.0, 7_000.0),)
+PPO_WALKER2D_WINDOWS = (ReturnWindow(1_000_000, 1_690.0, 7_000.0),)
 CQL_HALFCHEETAH_MEDIUM_WINDOWS = (ReturnWindow(500_000, 4400.0, 5400.0),)
 # Ours: DQN CartPole must be solved quickly on-device.
 DQN_CARTPOLE_WINDOWS = (ReturnWindow(64_000, 195.0, 200.0),)

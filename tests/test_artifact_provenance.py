@@ -156,6 +156,39 @@ def test_ppo_halfcheetah_1m_curve():
     assert points[0][1] < 1_000, (path, points[:3])
 
 
+def test_ppo_hopper_walker2d_1m():
+  """PPO-Clip on Hopper-v5/Walker2d-v5 to 1M (round-4 verdict #5) vs the
+  published schulman17 means (ppo/README.md:49-50, v2 physics). Windows
+  derived as in benchmark/return_windows.py (0.57x the published mean as
+  the floor, the HalfCheetah PerfZero ratio)."""
+  from agents_tpu.benchmark.return_windows import (PPO_HOPPER_WINDOWS,
+                                                   PPO_WALKER2D_WINDOWS)
+  _landed("ppo_hopper_1m_s0.jsonl", "ppo_walker2d_1m_s0.jsonl")
+  for fname, windows in (("ppo_hopper_1m_s0.jsonl", PPO_HOPPER_WINDOWS),
+                         ("ppo_walker2d_1m_s0.jsonl",
+                          PPO_WALKER2D_WINDOWS)):
+    path = os.path.join(BASE, fname)
+    points = read_jsonl_returns(path)
+    assert len(points) >= 20, fname
+    assert check_windows(points, windows)[1_000_000], (fname, points[-3:])
+    assert points[0][1] < windows[0].min_return, (fname, points[:2])
+
+
+def test_reference_sac_v5_measurement_artifacts():
+  """The round-5 v2->v5 measurement (docs/ref_sac_v5_measurement.md):
+  the reference's own SAC on v5 physics, captured as artifacts. The
+  Walker2d curve must show the reference BELOW our artifact at the
+  matched 250k step count — the measured basis for the task table's
+  v5-vs-published-v2 reading."""
+  _landed("ref_sac_walker2d_v5_250k.jsonl")
+  evals = _evals(os.path.join(BASE, "ref_sac_walker2d_v5_250k.jsonl"))
+  assert evals and evals[-1][0] == 250_000, evals[-2:]
+  ref_250k = evals[-1][1]
+  ours = _evals(os.path.join(BASE, "sac_walker2d_1m_s0.jsonl"))
+  ours_256k = [r for s, r in ours if s == 256_000][0]
+  assert ours_256k > ref_250k, (ours_256k, ref_250k)
+
+
 def test_dqn_cartpole_multi_seed_solved():
   """Reference BASELINE config (train_eval.py:94-127) at 3 seeds: every
   seed must SOLVE CartPole (collect window reaches 200) and hold a high
