@@ -43,8 +43,12 @@ os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 import numpy as np
 import tensorflow as tf
 
-tf.config.threading.set_intra_op_parallelism_threads(1)
-tf.config.threading.set_inter_op_parallelism_threads(1)
+if os.environ.get("REF_SAC_SINGLE_THREAD", "1") == "1":
+  # Default single-threaded so the curve runs can share the host with a
+  # TPU training job; REF_SAC_SINGLE_THREAD=0 gives TF its default
+  # threading for a best-case throughput measurement on an idle host.
+  tf.config.threading.set_intra_op_parallelism_threads(1)
+  tf.config.threading.set_inter_op_parallelism_threads(1)
 
 from tf_agents.agents.ddpg import critic_network  # noqa: F401 (parity ref)
 from tf_agents.agents.sac import sac_agent

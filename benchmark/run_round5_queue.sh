@@ -70,4 +70,11 @@ for env in Hopper Walker2d; do
   fi
   echo STAGE_PPO_${name}_DONE step=$ps
 done
+
+# -- 5. Reference SAC best-case throughput (idle host, default threads) ------
+REF_SAC_SINGLE_THREAD=0 REF_SAC_EVAL_INTERVAL=999999999 \
+  timeout 900 nice -n 0 python benchmark/ref_sac_baseline.py \
+  Walker2d-v5 6000 /tmp/ref_sac_throughput.jsonl \
+  > /tmp/ref_sac_throughput.log 2>&1
+echo STAGE_REF_THROUGHPUT_DONE
 echo QUEUE_DONE
