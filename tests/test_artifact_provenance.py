@@ -180,13 +180,25 @@ def test_reference_sac_v5_measurement_artifacts():
   Walker2d curve must show the reference BELOW our artifact at the
   matched 250k step count — the measured basis for the task table's
   v5-vs-published-v2 reading."""
-  _landed("ref_sac_walker2d_v5_250k.jsonl")
+  _landed("ref_sac_walker2d_v5_250k.jsonl", "ref_sac_hopper_v5_250k.jsonl")
   evals = _evals(os.path.join(BASE, "ref_sac_walker2d_v5_250k.jsonl"))
   assert evals and evals[-1][0] == 250_000, evals[-2:]
   ref_250k = evals[-1][1]
   ours = _evals(os.path.join(BASE, "sac_walker2d_1m_s0.jsonl"))
   ours_256k = [r for s, r in ours if s == 256_000][0]
   assert ours_256k > ref_250k, (ours_256k, ref_250k)
+  # Hopper: the reference's full-run attempt sits below EVERY one of our
+  # three seeds at the matched step count (and attempt 1 diverged in the
+  # reference's own alpha loss — the committed artifact records it).
+  hop = _evals(os.path.join(BASE, "ref_sac_hopper_v5_250k.jsonl"))
+  assert hop and hop[-1][0] == 250_000, hop[-2:]
+  ref_hop = hop[-1][1]
+  our_hop = [
+      [r for s, r in _evals(os.path.join(
+          BASE, f"sac_hopper_1m_s{i}.jsonl")) if s == 256_000][0]
+      for i in (0, 1, 2)
+  ]
+  assert min(our_hop) > ref_hop, (our_hop, ref_hop)
 
 
 def test_dqn_cartpole_multi_seed_solved():
