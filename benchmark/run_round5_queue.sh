@@ -77,4 +77,8 @@ REF_SAC_SINGLE_THREAD=0 REF_SAC_EVAL_INTERVAL=999999999 \
   Walker2d-v5 6000 /tmp/ref_sac_throughput.jsonl \
   > /tmp/ref_sac_throughput.log 2>&1
 echo STAGE_REF_THROUGHPUT_DONE
+
+# -- 6. TPU verify drive ------------------------------------------------------
+timeout 1200 python /tmp/drive_r5.py > /tmp/drive_r5.log 2>&1
+echo STAGE_DRIVE_DONE rc=$?
 echo QUEUE_DONE
