@@ -54,7 +54,11 @@ for s in 1 2; do
   echo STAGE_WALKER_S${s}_DONE step=$ws
 done
 
-# -- 4. PPO Hopper + Walker2d to 1M (verdict #5) -----------------------------
+# -- 4. TPU verify drive (short; must land regardless of later cuts) --------
+timeout 1200 python /tmp/drive_r5.py > /tmp/drive_r5.log 2>&1
+echo STAGE_DRIVE_DONE rc=$?
+
+# -- 5. PPO Hopper + Walker2d to 1M (verdict #5) -----------------------------
 for env in Hopper Walker2d; do
   name=$(echo $env | tr 'A-Z' 'a-z')
   timeout 3000 python examples/ppo_halfcheetah.py \
@@ -71,14 +75,25 @@ for env in Hopper Walker2d; do
   echo STAGE_PPO_${name}_DONE step=$ps
 done
 
-# -- 5. Reference SAC best-case throughput (idle host, default threads) ------
+# -- 6. Reference SAC best-case throughput (idle host, default threads) ------
 REF_SAC_SINGLE_THREAD=0 REF_SAC_EVAL_INTERVAL=999999999 \
   timeout 900 nice -n 0 python benchmark/ref_sac_baseline.py \
   Walker2d-v5 6000 /tmp/ref_sac_throughput.jsonl \
   > /tmp/ref_sac_throughput.log 2>&1
 echo STAGE_REF_THROUGHPUT_DONE
 
-# -- 6. TPU verify drive ------------------------------------------------------
-timeout 1200 python /tmp/drive_r5.py > /tmp/drive_r5.log 2>&1
-echo STAGE_DRIVE_DONE rc=$?
+# -- 7. CQL mixed pipeline on Hopper (verdict #8 stretch; cuttable tail) -----
+timeout 2400 python examples/cql_sac_offline.py \
+  --cfg.root_dir=/tmp/agents_tpu/cql_hopper_mixed \
+  --cfg.env_name=Hopper-v5 --cfg.dataset_mix=mixed \
+  --cfg.behavior_env_steps=72000 --cfg.dataset_frames=200000 \
+  --cfg.mixed_random_fraction=0.2 --cfg.offline_train_steps=500000 \
+  --cfg.cql_alpha=0.1 --cfg.softmax_temperature=50.0 \
+  --cfg.num_bc_steps=10000 --cfg.train_steps_per_call=64 \
+  > /tmp/cql_hopper.log 2>&1
+if [ -f /tmp/agents_tpu/cql_hopper_mixed/offline.jsonl ]; then
+  cp /tmp/agents_tpu/cql_hopper_mixed/offline.jsonl results/cql_sac_offline_hopper_mixed.jsonl
+  cp /tmp/agents_tpu/cql_hopper_mixed/config.json results/cql_sac_offline_hopper_mixed_config.json
+fi
+echo STAGE_CQL_HOPPER_DONE rc=$?
 echo QUEUE_DONE
