@@ -128,7 +128,11 @@ def test_sac_walker2d_ant_tasks(stem, ref_mean):
   import glob
   _landed(f"{stem}_s0.jsonl")
   finals = []
-  for path in sorted(glob.glob(os.path.join(BASE, f"{stem}_s*.jsonl"))):
+  # _partial artifacts (timeout-truncated runs awaiting a resume) are
+  # honest interim copies, never graded as seeds.
+  for path in sorted(p for p in
+                     glob.glob(os.path.join(BASE, f"{stem}_s*.jsonl"))
+                     if "_partial" not in p):
     evals = _evals(path)
     assert evals, f"no eval points in {path}"
     step, ret = evals[-1]
@@ -145,7 +149,9 @@ def test_ppo_halfcheetah_1m_curve():
   (ppo_benchmark.py:58); reference mean 4,239 (ppo/README.md:46-48)."""
   import glob
   _landed("ppo_halfcheetah_1m_s0.jsonl")
-  paths = sorted(glob.glob(os.path.join(BASE, "ppo_halfcheetah_1m_s*.jsonl")))
+  paths = sorted(p for p in
+                 glob.glob(os.path.join(BASE, "ppo_halfcheetah_1m_s*.jsonl"))
+                 if "_partial" not in p)
   for path in paths:
     points = read_jsonl_returns(path)
     assert len(points) >= 20, path
