@@ -162,22 +162,25 @@ def test_ppo_halfcheetah_1m_curve():
     assert points[0][1] < 1_000, (path, points[:3])
 
 
-def test_ppo_hopper_walker2d_1m():
+@pytest.mark.parametrize("fname,windows_name", [
+    ("ppo_hopper_1m_s0.jsonl", "PPO_HOPPER_WINDOWS"),
+    ("ppo_walker2d_1m_s0.jsonl", "PPO_WALKER2D_WINDOWS"),
+])
+def test_ppo_hopper_walker2d_1m(fname, windows_name):
   """PPO-Clip on Hopper-v5/Walker2d-v5 to 1M (round-4 verdict #5) vs the
   published schulman17 means (ppo/README.md:49-50, v2 physics). Windows
   derived as in benchmark/return_windows.py (0.57x the published mean as
-  the floor, the HalfCheetah PerfZero ratio)."""
-  from agents_tpu.benchmark.return_windows import (PPO_HOPPER_WINDOWS,
-                                                   PPO_WALKER2D_WINDOWS)
-  _landed("ppo_hopper_1m_s0.jsonl", "ppo_walker2d_1m_s0.jsonl")
-  for fname, windows in (("ppo_hopper_1m_s0.jsonl", PPO_HOPPER_WINDOWS),
-                         ("ppo_walker2d_1m_s0.jsonl",
-                          PPO_WALKER2D_WINDOWS)):
-    path = os.path.join(BASE, fname)
-    points = read_jsonl_returns(path)
-    assert len(points) >= 20, fname
-    assert check_windows(points, windows)[1_000_000], (fname, points[-3:])
-    assert points[0][1] < windows[0].min_return, (fname, points[:2])
+  the floor, the HalfCheetah PerfZero ratio). Parametrized per env so a
+  landed run is graded even while the other is still owed — a joint
+  gate would let one missing artifact hide the other's result."""
+  from agents_tpu.benchmark import return_windows
+  _landed(fname)
+  windows = getattr(return_windows, windows_name)
+  path = os.path.join(BASE, fname)
+  points = read_jsonl_returns(path)
+  assert len(points) >= 20, fname
+  assert check_windows(points, windows)[1_000_000], (fname, points[-3:])
+  assert points[0][1] < windows[0].min_return, (fname, points[:2])
 
 
 def test_reference_sac_v5_measurement_artifacts():
