@@ -89,10 +89,19 @@ class PyUniformReplayBuffer:
     Returns leaf arrays shaped [len(flat_idx), *leaf_shape]. With
     `reuse_sample_buffers`, output comes from a double-buffered pool
     (valid until the second following call); otherwise fresh arrays.
-    Indices are already reduced mod capacity — take() keeps the default
-    bounds check so an index bug raises instead of silently clamping.
+
+    Indices are already reduced mod capacity; they are bounds-checked
+    ONCE here (cheap: one vectorized compare over len(flat_idx) ints) so
+    take() can run with mode='clip'. The default mode='raise' re-checks
+    per element on a slow path — measured 3x slower than the clip fast
+    path on the 84x84x4 obs leaf (4.6 ms vs 1.4 ms for a 512-row gather
+    from an 8.5 GB ring), which was most of the round-4 12.3 ms/batch
+    host sample cost.
     """
     n = len(flat_idx)
+    if n and not ((flat_idx >= 0) & (flat_idx < self.capacity)).all():
+      raise IndexError(f"replay gather index out of range "
+                       f"[0, {self.capacity})")
     out_leaves = []
     for li, (slot, view) in enumerate(
         zip(jax.tree_util.tree_leaves(self._storage), self._flat_views)):
@@ -108,7 +117,7 @@ class PyUniformReplayBuffer:
         turn[0] ^= 1
       else:
         buf = np.empty((n,) + view.shape[1:], view.dtype)
-      np.take(view, flat_idx, axis=0, out=buf)
+      np.take(view, flat_idx, axis=0, out=buf, mode="clip")
       out_leaves.append(buf.reshape((n,) + slot.shape[1:]))
     return out_leaves
 
