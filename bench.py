@@ -153,19 +153,29 @@ def conv_bench(max_length: int = 2048):
 
   Batch sweep on the chip (B rows x train sample): 128x256 = 17.0% MFU
   @ 1.10 ms/iter, 128x512 = 19.5%, 256x1024 = 19.1%, 128x2048 = 19.9%
-  (301k train-frames/s). The ~20% plateau is now PROFILED
-  (benchmark/profile_conv.py -> benchmark/profiles/conv_profile.json):
-  each component run standalone (policy fwd / env step / replay sample /
-  train step) costs 0.83-0.87 ms while the whole fused iteration is
-  1.84 ms — i.e. a ~0.7-0.8 ms per-program dispatch floor dominates
-  programs this small (pure model FLOPs at peak would take 0.19 ms), so
-  the plateau is dispatch-bound at mnih15 scale with channel underfill
-  second-order; larger train samples amortize it (19.9% at sample
-  2048). The profile-suggested optimization (space-to-depth packing of
-  the 4-channel first conv into 64 channels) measured 1.015x fused —
-  REJECTED as below the 5% bar; the negative result is recorded in the
-  profile JSON. The headline uses sample 256, the cadence-realistic
-  setting."""
+  (301k train-frames/s).
+
+  Where the non-model ~0.9 ms/iter goes (round-5 in-scan ablation,
+  benchmark/profile_conv_trace.py -> profiles/conv_trace_profile.json —
+  every variant keeps the 100-iteration lax.scan structure so
+  per-program dispatch cancels in full-minus-ablated differences;
+  round 4's standalone-component timings measured their own dispatch
+  and wrongly blamed a "dispatch floor"): at 65k frames the fused
+  iteration splits into train-path-minus-gather ~0.5-0.6 ms (optimizer
+  + target net + huber + casts around the 0.19 ms of pure model
+  FLOPs), replay gather ~0.33 ms, env step ~0.1-0.26 ms, metrics
+  ~0.01-0.07 ms — i.e. the plateau is the train path plus the gather,
+  in-program, not dispatch. The round-4 "capacity-dependent MFU drop"
+  (17.15% @65k -> 14.55% @262k) is an index-SPAN effect, not capacity:
+  with the sampled window pinned, 65k and 262k cost the same; letting
+  the ring fill to bench level at 262k grew the gather 0.334 ->
+  0.457 ms (HBM locality over the wider span). Mitigation shipped in
+  UniformReplay.sample: gather in ascending address order (a uniform
+  batch is permutation-invariant) — whole fused iteration at bench
+  fill 1.79 -> 1.52 ms/iter (-15%), near-empty unchanged, ACCEPTED.
+  The earlier space-to-depth attempt (1.015x) stays REJECTED as below
+  the 5% bar; both accept/reject records live in the profile JSONs.
+  The headline uses sample 256, the cadence-realistic setting."""
   import optax
 
   from agents_tpu import metrics, networks

@@ -77,15 +77,29 @@ def build(capacity_rows: int, sample: int = 256, B: int = 128):
 
 
 def timed(fn, state, runs=4):
-  s, losses = fn(state)              # warm: compile + program load
-  float(np.asarray(losses)[-1])
-  s, losses = fn(s)
-  float(np.asarray(losses)[-1])
+  """Time fn(state) re-run from the SAME input state each rep.
+
+  Never chains outputs: a chain holds input + output + the caller's
+  pristine `state` = three replay rings at once, which at 262k capacity
+  (3 x 7.5 GB) RESOURCE_EXHAUSTs the 16 GB chip. Re-running from
+  `state` with the previous output freed keeps the peak at two rings —
+  the same peak the headline bench reaches. Each rep syncs via readback
+  (the axon backend ignores block_until_ready), so a constant per-call
+  sync cost rides every variant equally and cancels in the
+  full-minus-ablated differences the attribution uses."""
+  out = fn(state)                    # warm: compile + program load
+  float(np.asarray(out[1])[-1])
+  del out
+  out = fn(state)
+  float(np.asarray(out[1])[-1])
   t0 = time.time()
   for _ in range(runs):
-    s, losses = fn(s)
-  float(np.asarray(losses)[-1])
-  return (time.time() - t0) / runs / CHUNK * 1e3  # ms per iteration
+    del out
+    out = fn(state)
+    float(np.asarray(out[1])[-1])
+  dt = time.time() - t0
+  del out
+  return dt / runs / CHUNK * 1e3  # ms per iteration
 
 
 def ablation_program(loop, variant: str, const_experience=None):
@@ -182,45 +196,67 @@ def _parse_xplane(trace_dir):
 
 
 def main():
+  # Each capacity runs in its OWN process (spawned below when no argv):
+  # the 65k phase's ring + jit-cached ablation programs stay resident
+  # otherwise, and the 262k build then RESOURCE_EXHAUSTs the 16 GB chip
+  # (observed live: the in-process two-capacity loop OOMed at the 262k
+  # warmup). Results merge into one JSON across invocations.
+  if len(sys.argv) == 1 and not SMOKE:
+    import subprocess
+    for rows, label in ((512, "65k"), (2048, "262k")):
+      rc = subprocess.call([sys.executable, os.path.abspath(__file__),
+                            str(rows), label])
+      if rc != 0:
+        raise SystemExit(rc)
+    return
   out = {"capacities": {}}
   any_trace = False
   caps = ((16, "smoke_a"), (64, "smoke_b")) if SMOKE else \
-      ((512, "65k"), (2048, "262k"))
+      ((int(sys.argv[1]), sys.argv[2]),)
   for cap_rows, label in caps:
     loop, state = build(cap_rows)
 
-    # Device trace attempt on the exact headline program.
-    run_full = jax.jit(lambda s: loop.run(s, CHUNK))
-    s2, losses = run_full(state)
-    float(np.asarray(losses)[-1])
-    trace_dir = f"/tmp/conv_trace_{label}"
+    # Device trace attempt on the exact headline program — OFF by
+    # default on this rig: the axon backend emits no device xplane (and
+    # the proto parser's tensorflow module is absent), while the extra
+    # chained loop state the attempt keeps alive (state + s2 + traced
+    # output = three 7.5 GB rings at 262k capacity) RESOURCE_EXHAUSTs
+    # the 16 GB chip. The ablation below needs at most two rings live
+    # at once (input + output of the running program), the same peak
+    # the headline bench itself reaches at this capacity.
     device_events = None
-    tracing = False
-    try:
-      jax.profiler.start_trace(trace_dir)
-      tracing = True
-      _, losses = run_full(s2)
+    if os.environ.get("AGENTS_TPU_TRY_DEVICE_TRACE"):
+      run_full = jax.jit(lambda s: loop.run(s, CHUNK))
+      s2, losses = run_full(state)
       float(np.asarray(losses)[-1])
-      jax.profiler.stop_trace()
+      trace_dir = f"/tmp/conv_trace_{label}"
       tracing = False
-      device_events = _parse_xplane(trace_dir)
-    except Exception as e:  # noqa: BLE001
-      print(f"[{label}] device trace unavailable: {e!r}", flush=True)
-    finally:
-      if tracing:
-        # A failure mid-trace must not leave the profiler recording
-        # through the ablation timings below.
-        try:
-          jax.profiler.stop_trace()
-        except Exception:  # noqa: BLE001
-          pass
+      try:
+        jax.profiler.start_trace(trace_dir)
+        tracing = True
+        _, losses = run_full(s2)
+        float(np.asarray(losses)[-1])
+        jax.profiler.stop_trace()
+        tracing = False
+        device_events = _parse_xplane(trace_dir)
+      except Exception as e:  # noqa: BLE001
+        print(f"[{label}] device trace unavailable: {e!r}", flush=True)
+      finally:
+        if tracing:
+          # A failure mid-trace must not leave the profiler recording
+          # through the ablation timings below.
+          try:
+            jax.profiler.stop_trace()
+          except Exception:  # noqa: BLE001
+            pass
+      del s2, losses
     any_trace = any_trace or bool(device_events)
 
     const_exp = jax.jit(
         lambda rs, k: loop.replay.sample(
             rs, k, loop.sample_batch_size,
             num_steps=loop.agent.train_sequence_length)[0]
-    )(s2.replay_state, jax.random.key(42))
+    )(state.replay_state, jax.random.key(42))
     const_exp = jax.tree_util.tree_map(jnp.asarray, const_exp)
 
     variants = {}
@@ -247,9 +283,20 @@ def main():
       "xplane device trace + in-scan ablation" if any_trace else
       "in-scan ablation only (backend emitted no device trace plane); "
       "every variant keeps the 100-iteration lax.scan structure, so "
-      "per-program dispatch cancels in full-minus-ablated differences")
+      "per-program dispatch cancels in full-minus-ablated differences; "
+      "each capacity measured in its own process (chip-memory isolation)")
   path = os.path.join(os.path.dirname(__file__), "profiles",
                       "conv_trace_profile.json")
+  # Merge with any capacities measured by sibling invocations.
+  if os.path.exists(path):
+    try:
+      with open(path) as f:
+        prev = json.load(f)
+      merged = dict(prev.get("capacities", {}))
+      merged.update(out["capacities"])
+      out["capacities"] = merged
+    except (json.JSONDecodeError, OSError):
+      pass
   with open(path, "w") as f:
     json.dump(out, f, indent=1)
   print(json.dumps(out, indent=1))
