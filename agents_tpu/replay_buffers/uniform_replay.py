@@ -91,13 +91,15 @@ class UniformReplay:
 
   def __init__(self, data_spec, batch_size: int, max_length: int,
                pack_large_rows: bool = True,
-               debug_min_size_asserts: bool = False):
+               debug_min_size_asserts: bool = False,
+               sort_for_locality: bool = False):
     from agents_tpu.ops.replay_gather import RowPacker
 
     self.data_spec = data_spec
     self.batch_size = int(batch_size)
     self.capacity = int(max_length)
     self.pack_large_rows = bool(pack_large_rows)
+    self.sort_for_locality = bool(sort_for_locality)
     # Reverb blocks underfilled sampling structurally (MinSize limiter,
     # reference train/utils/replay_buffer_utils.py:29-56); a jittable ring
     # can't block, so `sample` raises at trace time whenever `count` is
@@ -166,19 +168,21 @@ class UniformReplay:
     num_valid = jnp.maximum(hi - lo, 1)
     t0 = lo + jax.random.randint(k_t, (sample_batch_size,), 0, num_valid)
     rows = jax.random.randint(k_b, (sample_batch_size,), 0, self.batch_size)
-    # Gather in ascending HBM address order: a uniform batch is an
-    # unordered set (every training reduction over it is permutation-
-    # invariant), so reordering (t0, rows) pairs by flat address is a
-    # semantic no-op that improves row-buffer locality for the random
-    # gather. Measured on v5e at 262k-frame capacity (mnih15 obs,
-    # S=512 rows/sample, in-scan ablation so dispatch cancels): at
-    # bench-level ring fill the whole fused iteration drops 1.79 ->
-    # 1.52 ms (-15%), gather attribution 0.457 -> 0.359 ms; at
-    # near-empty fill, no change — the win is exactly the index-span
-    # (HBM locality) term that round 4 misread as a "capacity-dependent
-    # MFU drop" (benchmark/profiles/conv_trace_profile.json).
-    order = jnp.argsort(t0 * self.batch_size + rows)
-    t0, rows = t0[order], rows[order]
+    # Optional: gather in ascending HBM address order. A uniform batch
+    # is an unordered set (every training reduction over it is
+    # permutation-invariant), so reordering (t0, rows) pairs by flat
+    # address is semantically free. Measured on v5e at mnih15 scale
+    # (262k-frame ring, bench-level fill, interleaved same-process A/B
+    # so tunnel drift cancels): sorted 1.478 vs unsorted 1.467 ms/iter
+    # median — NO win, the argsort costs ~0.7%. Default OFF; kept as a
+    # flag because the measurement is rig-specific (a part with a
+    # smaller HBM row buffer may benefit). Verdict + data:
+    # benchmark/profiles/gather_fill_effect.json. An earlier cross-
+    # process comparison suggested -15%; that was axon-tunnel run-to-
+    # run drift (the no-gather control moved just as much), not signal.
+    if self.sort_for_locality:
+      order = jnp.argsort(t0 * self.batch_size + rows)
+      t0, rows = t0[order], rows[order]
 
     batch = self._gather(state.storage, t0, rows, n)
     if num_steps is None:

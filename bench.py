@@ -160,22 +160,27 @@ def conv_bench(max_length: int = 2048):
   every variant keeps the 100-iteration lax.scan structure so
   per-program dispatch cancels in full-minus-ablated differences;
   round 4's standalone-component timings measured their own dispatch
-  and wrongly blamed a "dispatch floor"): at 65k frames the fused
-  iteration splits into train-path-minus-gather ~0.5-0.6 ms (optimizer
-  + target net + huber + casts around the 0.19 ms of pure model
-  FLOPs), replay gather ~0.33 ms, env step ~0.1-0.26 ms, metrics
-  ~0.01-0.07 ms — i.e. the plateau is the train path plus the gather,
-  in-program, not dispatch. The round-4 "capacity-dependent MFU drop"
-  (17.15% @65k -> 14.55% @262k) is an index-SPAN effect, not capacity:
-  with the sampled window pinned, 65k and 262k cost the same; letting
-  the ring fill to bench level at 262k grew the gather 0.334 ->
-  0.457 ms (HBM locality over the wider span). Mitigation shipped in
-  UniformReplay.sample: gather in ascending address order (a uniform
-  batch is permutation-invariant) — whole fused iteration at bench
-  fill 1.79 -> 1.52 ms/iter (-15%), near-empty unchanged, ACCEPTED.
-  The earlier space-to-depth attempt (1.015x) stays REJECTED as below
-  the 5% bar; both accept/reject records live in the profile JSONs.
-  The headline uses sample 256, the cadence-realistic setting."""
+  and wrongly blamed a "dispatch floor"): the fused iteration splits
+  into train-path-minus-gather ~0.5 ms (optimizer + target net +
+  huber + casts around the 0.19 ms of pure model FLOPs), replay
+  gather ~0.34 ms (full minus no-gather, interleaved same-process
+  controls), env step ~0.1-0.26 ms, metrics ~0.01-0.07 ms — i.e. the
+  plateau is the train path plus the gather, in-program, NOT dispatch.
+
+  The capacity term (17.15% MFU @65k -> ~14.4% @262k, +0.19 ms/iter)
+  is NOT the gather: with interleaved same-process A/B programs the
+  gather attribution is ~0.34 ms at BOTH capacities and bench-level
+  fill. A sorted-index (HBM address order) gather was implemented and
+  measured for it — 1.478 vs 1.467 ms/iter median, NO win, REJECTED
+  (kept behind UniformReplay(sort_for_locality=True), default off);
+  an earlier cross-process comparison that suggested -15% was
+  axon-tunnel run-to-run drift (its no-gather control moved just as
+  much — profiles/gather_fill_effect.json records both measurements
+  and the correction). The residual candidate for the +0.19 ms is the
+  ring insert/update path on the 7 GB buffer; unattributed as of
+  round 5 and stated so. The space-to-depth attempt (1.015x) stays
+  REJECTED below the 5% bar. The headline uses sample 256, the
+  cadence-realistic setting."""
   import optax
 
   from agents_tpu import metrics, networks
