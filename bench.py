@@ -38,11 +38,17 @@ TF_AGENTS_CPU_ENV_STEPS_PER_S = 362.0
 
 # Reference SAC collect+train cadence on this host CPU, measured via
 # benchmark/ref_sac_baseline.py (the reference's own SacAgent +
-# TanhNormalProjection at the haarnoja18 operating point, Walker2d-v5,
-# 250k steps sustained — docs/ref_sac_v5_measurement.md). The round-4
-# verdict called this the missing denominator for BASELINE.json's
-# >=10x-per-chip target on SAC.
-TF_AGENTS_SAC_CPU_ENV_STEPS_PER_S = 61.0
+# TanhNormalProjection at the haarnoja18 operating point, Walker2d-v5).
+# Two operating points measured: 61.0 env-steps/s single-threaded over
+# a 250k-step run (docs/ref_sac_v5_measurement.md) and 90.4 env-steps/s
+# BEST-CASE (both cores, idle host, no evals, 6k-step probe at round-5
+# end). vs_baseline divides by the best case — the conservative ratio.
+# Context for reading it: on this 2-core rig BOTH sides are bound by
+# host MuJoCo stepping, not the chip (our probe runs 32 parallel envs
+# on the same 2 cores; the chip sustains UTD 1.0 with headroom), so the
+# ratio scales with host cores — the reference's single-env collect
+# loop cannot use more of them, ours can.
+TF_AGENTS_SAC_CPU_ENV_STEPS_PER_S = 90.4
 
 # TPU v5e (lite) peak: 197 TFLOP/s bf16 per chip.
 V5E_PEAK_FLOPS_BF16 = 197e12
